@@ -1,0 +1,79 @@
+"""All-pairs 1D (epipolar) correlation pyramid + windowed lookup, for the
+RAFT-Stereo family.
+
+Reference semantics: ``models/IterativeLocalCostVolume/corr/corr.py:54-111``
+— per row, corr[b,h,w1,w2] = <F1[b,h,w1], F2[b,h,w2]> / sqrt(C); a 4-level
+pyramid averages along w2; lookup bilinearly samples a ±r window around the
+current match position at each level.
+
+TPU design: the W×W similarity matrix is one MXU matmul per (b, h).  The
+pyramid is an average-pool over the last axis; lookups are clamped gathers
++ lerp on the innermost (lane) axis.
+
+If W is ever sharded across a mesh axis, the matmul becomes an
+``all_gather`` of right-feature stripes over ICI followed by local matmuls
+(ring schedule) — see parallel/; not needed at reference resolutions.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+import jax
+import jax.numpy as jnp
+
+
+def allpairs_corr1d(fmap1: jnp.ndarray, fmap2: jnp.ndarray) -> jnp.ndarray:
+    """fmap1/fmap2: [B, H, W, C] -> corr [B, H, W, W2] (scaled by 1/√C),
+    corr.py:104-111."""
+    C = fmap1.shape[-1]
+    corr = jnp.einsum(
+        "bhwc,bhvc->bhwv", fmap1, fmap2, preferred_element_type=jnp.float32
+    )
+    return corr / jnp.sqrt(jnp.asarray(C, jnp.float32))
+
+
+def corr_pyramid(corr: jnp.ndarray, num_levels: int) -> list[jnp.ndarray]:
+    """Average-pool the last (w2) axis by 2 per level (corr.py:70-76).
+    Returns [corr_0, ..., corr_{L-1}]."""
+    out = [corr]
+    x = corr
+    for _ in range(num_levels - 1):
+        W2 = x.shape[-1]
+        x = x[..., : (W2 // 2) * 2]
+        x = x.reshape(*x.shape[:-1], W2 // 2, 2).mean(axis=-1)
+        out.append(x)
+    return out
+
+
+def _sample_last(x: jnp.ndarray, coords: jnp.ndarray) -> jnp.ndarray:
+    """Bilinear sample of the last axis of x [..., W] at coords [..., S]
+    with zero padding outside [0, W-1] (grid_sample 'zeros' as used by
+    bilinear_sampler, utils/utils.py:64-73)."""
+    W = x.shape[-1]
+    x0 = jnp.floor(coords).astype(jnp.int32)
+    x1 = x0 + 1
+    t = coords - x0.astype(coords.dtype)
+    w0 = ((x0 >= 0) & (x0 <= W - 1)).astype(coords.dtype)
+    w1 = ((x1 >= 0) & (x1 <= W - 1)).astype(coords.dtype)
+    v0 = jnp.take_along_axis(x, jnp.clip(x0, 0, W - 1), axis=-1)
+    v1 = jnp.take_along_axis(x, jnp.clip(x1, 0, W - 1), axis=-1)
+    return v0 * (1 - t) * w0 + v1 * t * w1
+
+
+def corr_lookup(
+    pyramid: Sequence[jnp.ndarray], coords: jnp.ndarray, radius: int
+) -> jnp.ndarray:
+    """Sample a ±radius window around ``coords`` at every pyramid level
+    (corr.py:78-101).
+
+    coords: [B, H, W] current x-position of the match on the epipolar line
+    (full-resolution units of level 0).  Returns
+    [B, H, W, L*(2r+1)] feature (innermost ordering: level-major).
+    """
+    offsets = jnp.arange(-radius, radius + 1, dtype=coords.dtype)
+    outs = []
+    for lvl, corr in enumerate(pyramid):
+        c = coords[..., None] / (2**lvl) + offsets      # [B,H,W,2r+1]
+        outs.append(_sample_last(corr, c))
+    return jnp.concatenate(outs, axis=-1)

@@ -1,0 +1,149 @@
+"""Full-range stereo cost volumes (NHWC, TPU-first).
+
+Reference semantics: ``models/utils/build_cost_volume.py:5-54`` builds
+correlation / concat / difference volumes with a Python loop over D shifted
+slices, writing into a zero-initialised buffer (out-of-range columns w < d
+stay zero).  Here the correlation volume is computed as a *banded matmul*:
+for every (b, h) row the full W×W similarity matrix ``L @ R^T`` rides the
+MXU and the D-wide lower diagonal band is gathered out.  For D ≪ W a
+shifted-window einsum variant is also provided; `correlation_volume`
+dispatches on shape.
+
+Layouts: features are NHWC ``[B, H, W, C]``; volumes are ``[B, H, W, D]``
+(disparity innermost, so softmax over D is a lane-dim reduction) for
+correlation, and ``[B, D, H, W, C]``-analogue ``[B, H, W, D, C']`` for
+concat/difference volumes.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+
+
+def _band_from_square(sim: jnp.ndarray, max_disp: int) -> jnp.ndarray:
+    """Extract corr[..., w, d] = sim[..., w, w-d] (zero where w < d).
+
+    sim: [..., W, W] similarity matrix, returns [..., W, D].
+    """
+    W = sim.shape[-1]
+    w_idx = jnp.arange(W)[:, None]                    # [W, 1]
+    d_idx = jnp.arange(max_disp)[None, :]             # [1, D]
+    src = w_idx - d_idx                               # [W, D]
+    valid = src >= 0
+    src = jnp.clip(src, 0, W - 1)
+    band = jnp.take_along_axis(
+        sim, jnp.broadcast_to(src, sim.shape[:-2] + src.shape), axis=-1
+    )
+    return jnp.where(valid, band, 0.0)
+
+
+def correlation_volume_matmul(
+    left: jnp.ndarray, right: jnp.ndarray, max_disp: int
+) -> jnp.ndarray:
+    """Correlation cost volume via full W×W matmul + band gather.
+
+    left/right: [B, H, W, C]  ->  [B, H, W, D] with
+    out[b,h,w,d] = mean_c left[b,h,w,c] * right[b,h,w-d,c]   (0 if w < d).
+    """
+    C = left.shape[-1]
+    sim = jnp.einsum(
+        "bhwc,bhvc->bhwv", left, right, preferred_element_type=jnp.float32
+    ) / jnp.asarray(C, left.dtype)
+    return _band_from_square(sim, max_disp).astype(left.dtype)
+
+
+def correlation_volume_shift(
+    left: jnp.ndarray, right: jnp.ndarray, max_disp: int
+) -> jnp.ndarray:
+    """Correlation volume via D shifted elementwise products (VPU path).
+
+    Preferable when W ≫ D would make the square matmul wasteful.
+    """
+    B, H, W, C = left.shape
+    outs = []
+    for d in range(max_disp):
+        if d == 0:
+            prod = jnp.mean(left * right, axis=-1)
+        else:
+            prod = jnp.mean(left[:, :, d:, :] * right[:, :, :-d, :], axis=-1)
+            prod = jnp.pad(prod, ((0, 0), (0, 0), (d, 0)))
+        outs.append(prod)
+    return jnp.stack(outs, axis=-1)
+
+
+def correlation_volume(
+    left: jnp.ndarray, right: jnp.ndarray, max_disp: int
+) -> jnp.ndarray:
+    """Correlation cost volume [B, H, W, D]; picks the MXU banded-matmul
+    path when the band is a reasonable fraction of the square matrix."""
+    W = left.shape[2]
+    if max_disp * 3 >= W:
+        return correlation_volume_matmul(left, right, max_disp)
+    return correlation_volume_matmul(left, right, max_disp)  # matmul still wins on MXU
+
+
+def concat_volume(
+    left: jnp.ndarray, right: jnp.ndarray, max_disp: int
+) -> jnp.ndarray:
+    """Concat volume: out[b,h,w,d,:] = [left[b,h,w], right[b,h,w-d]],
+    zero where w < d.  Returns [B, H, W, D, 2C].
+
+    Mirrors reference 'concat' mode (build_cost_volume.py:30-37) where the
+    whole 2C-channel slice (left included) is zeroed for w < d.
+    """
+    B, H, W, C = left.shape
+    d_idx = jnp.arange(max_disp)
+    w_idx = jnp.arange(W)
+    src = w_idx[None, :] - d_idx[:, None]              # [D, W]
+    valid = (src >= 0)[None, :, :, None]               # [1, D, W, 1]
+    src = jnp.clip(src, 0, W - 1)
+    # right_shift[b,h,d,w,c] = right[b,h,w-d,c]
+    right_shift = right[:, :, src, :]                  # [B, H, D, W, C]
+    right_shift = jnp.where(valid[None], right_shift, 0.0)
+    left_rep = jnp.broadcast_to(
+        left[:, :, None, :, :], (B, H, max_disp, W, C)
+    )
+    left_rep = jnp.where(valid[None], left_rep, 0.0)
+    vol = jnp.concatenate([left_rep, right_shift], axis=-1)  # [B,H,D,W,2C]
+    return jnp.transpose(vol, (0, 1, 3, 2, 4))         # [B,H,W,D,2C]
+
+
+def difference_volume(
+    left: jnp.ndarray, right: jnp.ndarray, max_disp: int
+) -> jnp.ndarray:
+    """Difference volume: out[b,h,w,d,:] = left[b,h,w] - right[b,h,w-d],
+    zero where w < d.  Returns [B, H, W, D, C]."""
+    B, H, W, C = left.shape
+    d_idx = jnp.arange(max_disp)
+    w_idx = jnp.arange(W)
+    src = w_idx[None, :] - d_idx[:, None]
+    valid = (src >= 0)[None, :, :, None]
+    src = jnp.clip(src, 0, W - 1)
+    right_shift = right[:, :, src, :]                  # [B, H, D, W, C]
+    diff = left[:, :, None, :, :] - right_shift
+    diff = jnp.where(valid[None], diff, 0.0)
+    return jnp.transpose(diff, (0, 1, 3, 2, 4))
+
+
+def gwc_volume(
+    left: jnp.ndarray, right: jnp.ndarray, max_disp: int, num_groups: int
+) -> jnp.ndarray:
+    """Group-wise correlation volume (reference
+    models/CrossAttentionCostVolume/GWC_Cost_Volume.py:5-24).
+
+    out[b,h,w,d,g] = mean_{c in group g} left[b,h,w,c]*right[b,h,w-d,c],
+    zero where w < d.  Returns [B, H, W, D, G].
+    """
+    B, H, W, C = left.shape
+    assert C % num_groups == 0
+    cpg = C // num_groups
+    lg = left.reshape(B, H, W, num_groups, cpg)
+    rg = right.reshape(B, H, W, num_groups, cpg)
+    sim = jnp.einsum(
+        "bhwgc,bhvgc->bhgwv", lg, rg, preferred_element_type=jnp.float32
+    ) / jnp.asarray(cpg, left.dtype)                   # [B,H,G,W,W]
+    band = _band_from_square(sim, max_disp)            # [B,H,G,W,D]
+    return jnp.transpose(band, (0, 1, 3, 4, 2)).astype(left.dtype)

@@ -1,0 +1,59 @@
+"""Disparity upsampling: learned 8× convex combination and simple bilinear.
+
+Reference semantics: ``models/utils/upsample.py:22-43``.  The convex
+upsampler takes a mask of 9·64 logits per coarse pixel, softmaxes over the
+9 spatial neighbours, and blends the 3×3 neighbourhood of ``8·disp`` into
+each of the 8×8 fine sub-pixels.
+
+TPU design: instead of im2col/unfold, the 9 neighbours are materialised as
+shifted copies (an XLA fusion of pads+slices) and contracted with the mask
+in one einsum — everything stays NHWC with the 9·64 mask channels in lanes.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from .resize import resize_bilinear
+
+
+def _shift2d(x: jnp.ndarray, dy: int, dx: int) -> jnp.ndarray:
+    """x[..., h+dy, w+dx, :] with zero padding (NHWC)."""
+    B, H, W, C = x.shape
+    pad = jnp.pad(x, ((0, 0), (1, 1), (1, 1), (0, 0)))
+    return jax.lax.dynamic_slice(pad, (0, 1 + dy, 1 + dx, 0), (B, H, W, C))
+
+
+def neighborhood9(x: jnp.ndarray) -> jnp.ndarray:
+    """Stack the 3×3 zero-padded neighbourhood: [B,H,W,C] -> [B,H,W,9,C]
+    with k = ky*3+kx ordering matching F.unfold (upsample.py:29-32)."""
+    outs = [
+        _shift2d(x, dy, dx) for dy in (-1, 0, 1) for dx in (-1, 0, 1)
+    ]
+    return jnp.stack(outs, axis=3)
+
+
+def upsample_convex8(disp: jnp.ndarray, mask: jnp.ndarray) -> jnp.ndarray:
+    """Learned convex 8× upsample.
+
+    disp: [B, H, W, 1] coarse disparity (1/8 resolution, in coarse-pixel
+    units — multiplied by 8 internally, upsample.py:29).
+    mask: [B, H, W, 9*64] logits, laid out as (k, dy, dx) per coarse pixel
+    matching the reference's ``view(N,1,9,8,8,H,W)`` (upsample.py:25).
+    Returns [B, 8H, 8W, 1].
+    """
+    B, H, W, _ = disp.shape
+    m = mask.reshape(B, H, W, 9, 8, 8)
+    m = jax.nn.softmax(m, axis=3)
+    nbr = neighborhood9(8.0 * disp)[..., 0]            # [B,H,W,9]
+    up = jnp.einsum("bhwkyx,bhwk->bhwyx", m, nbr)      # [B,H,W,8,8]
+    up = jnp.transpose(up, (0, 1, 3, 2, 4))            # [B,H,8,W,8]
+    return up.reshape(B, 8 * H, 8 * W, 1)
+
+
+def upsample_simple8(disp: jnp.ndarray) -> jnp.ndarray:
+    """8× bilinear upsample with align_corners=True and ×8 value scaling
+    (upsample.py:41-43).  disp: [B, H, W, 1] -> [B, 8H, 8W, 1]."""
+    B, H, W, _ = disp.shape
+    return 8.0 * resize_bilinear(disp, (8 * H, 8 * W), align_corners=True)

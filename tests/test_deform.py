@@ -1,0 +1,107 @@
+"""Deformable conv op: zero-offset ≡ plain convolution (mirrors the
+reference's own test strategy, deform/test.py:36-110), identity kernels,
+and finite-difference gradcheck."""
+
+import numpy as np
+import pytest
+import jax
+import jax.numpy as jnp
+
+from stereoformer_tpu import ops
+
+
+def test_zero_offset_equals_plain_conv():
+    torch = pytest.importorskip("torch")
+    import torch.nn.functional as F
+
+    rng = np.random.RandomState(0)
+    B, H, W, C, Co, k = 2, 6, 7, 4, 5, 3
+    x = rng.randn(B, H, W, C).astype(np.float32)
+    w = rng.randn(Co, C, k, k).astype(np.float32)
+    b = rng.randn(Co).astype(np.float32)
+
+    want = F.conv2d(
+        torch.from_numpy(x.transpose(0, 3, 1, 2)),
+        torch.from_numpy(w),
+        torch.from_numpy(b),
+        stride=1,
+        padding=1,
+    ).numpy()
+
+    offsets = jnp.zeros((B, H, W, k * k, 2))
+    mask = jnp.ones((B, H, W, k * k))
+    # weight layout here: [K*C, Co], tap-major (ky, kx, cin)
+    w_flat = jnp.asarray(w.transpose(2, 3, 1, 0).reshape(k * k * C, Co))
+    got = ops.modulated_deform_conv(
+        jnp.asarray(x), offsets, mask, w_flat, jnp.asarray(b)
+    )
+    np.testing.assert_allclose(
+        np.asarray(got).transpose(0, 3, 1, 2), want, atol=1e-4
+    )
+
+
+def test_integer_offset_shift():
+    """Identity center-tap kernel + integer offset = shifted image."""
+    rng = np.random.RandomState(1)
+    B, H, W, C = 1, 5, 6, 3
+    x = rng.randn(B, H, W, C).astype(np.float32)
+    K = 9
+    # weight: only center tap (k=4), identity over channels
+    w = np.zeros((K * C, C), np.float32)
+    for c in range(C):
+        w[4 * C + c, c] = 1.0
+    offsets = np.zeros((B, H, W, K, 2), np.float32)
+    offsets[..., 4, 1] = 1.0  # center tap shifted +1 in x
+    out = ops.modulated_deform_conv(
+        jnp.asarray(x), jnp.asarray(offsets), jnp.ones((B, H, W, K)), jnp.asarray(w)
+    )
+    np.testing.assert_allclose(
+        np.asarray(out)[:, :, :-1], x[:, :, 1:], atol=1e-5
+    )
+    # out-of-bounds sample at last column -> 0 (zero padding)
+    np.testing.assert_allclose(np.asarray(out)[:, :, -1], 0.0, atol=1e-6)
+
+
+def test_fractional_offset_bilinear():
+    x = np.zeros((1, 3, 4, 1), np.float32)
+    x[0, 1, 1, 0] = 1.0
+    x[0, 1, 2, 0] = 3.0
+    y = jnp.array([[1.0]])
+    xx = jnp.array([[1.25]])
+    v = ops.bilinear_sample_2d(jnp.asarray(x), y, xx)
+    np.testing.assert_allclose(float(v[0, 0, 0]), 0.75 * 1 + 0.25 * 3, atol=1e-6)
+
+
+def test_deform_gradcheck_fd():
+    """Finite-difference check of d(out)/d(offsets) and d(out)/d(x)."""
+    rng = np.random.RandomState(2)
+    B, H, W, C = 1, 4, 4, 2
+    K = 9
+    x = jnp.asarray(rng.randn(B, H, W, C).astype(np.float64) * 0 + rng.rand(B, H, W, C))
+    offs = jnp.asarray(rng.uniform(-0.4, 0.4, (B, H, W, K, 2)))
+    mask = jnp.asarray(rng.uniform(0.2, 1.0, (B, H, W, K)))
+    w = jnp.asarray(rng.randn(K * C, 1))
+
+    def f(x_, o_, m_):
+        return jnp.sum(
+            jnp.sin(ops.modulated_deform_conv(x_, o_, m_, w))
+        )
+
+    grads = jax.grad(f, argnums=(0, 1, 2))(x, offs, mask)
+    eps = 1e-4
+    for argnum, arr in [(0, x), (1, offs), (2, mask)]:
+        flat = np.asarray(arr).ravel()
+        idxs = rng.choice(flat.size, size=5, replace=False)
+        for i in idxs:
+            pert = flat.copy()
+            pert[i] += eps
+            args_p = [x, offs, mask]
+            args_p[argnum] = jnp.asarray(pert.reshape(arr.shape))
+            plus = float(f(*args_p))
+            pert[i] -= 2 * eps
+            args_m = [x, offs, mask]
+            args_m[argnum] = jnp.asarray(pert.reshape(arr.shape))
+            minus = float(f(*args_m))
+            fd = (plus - minus) / (2 * eps)
+            an = float(np.asarray(grads[argnum]).ravel()[i])
+            assert abs(fd - an) < 1e-2, (argnum, i, fd, an)

@@ -1,0 +1,113 @@
+"""Convex upsample vs the torch unfold reference; bilinear resize vs
+torch.nn.functional.interpolate; warp semantics."""
+
+import numpy as np
+import pytest
+import jax.numpy as jnp
+
+from stereoformer_tpu import ops
+
+
+def torch_upsample_convex8(disp_nchw, mask_nchw):
+    """Verbatim-semantics reference (models/utils/upsample.py:22-38)."""
+    import torch
+    import torch.nn.functional as F
+
+    disp = torch.from_numpy(disp_nchw)
+    mask = torch.from_numpy(mask_nchw)
+    N, _, H, W = disp.shape
+    mask = mask.view(N, 1, 9, 8, 8, H, W)
+    mask = torch.softmax(mask, dim=2)
+    up = F.unfold(8 * disp, [3, 3], padding=1)
+    up = up.view(N, 1, 9, 1, 1, H, W)
+    up = torch.sum(mask * up, dim=2)
+    up = up.permute(0, 1, 4, 2, 5, 3)
+    return up.reshape(N, 1, 8 * H, 8 * W).numpy()
+
+
+def test_upsample_convex8_matches_torch():
+    pytest.importorskip("torch")
+    rng = np.random.RandomState(0)
+    disp = rng.rand(2, 1, 5, 7).astype(np.float32) * 20
+    mask = rng.randn(2, 9 * 64, 5, 7).astype(np.float32)
+    want = torch_upsample_convex8(disp, mask)
+    got = ops.upsample_convex8(
+        jnp.asarray(disp.transpose(0, 2, 3, 1)),
+        jnp.asarray(mask.transpose(0, 2, 3, 1)),
+    )
+    np.testing.assert_allclose(
+        np.asarray(got).transpose(0, 3, 1, 2), want, atol=1e-4
+    )
+
+
+def test_upsample_simple8_matches_torch():
+    torch = pytest.importorskip("torch")
+    import torch.nn.functional as F
+
+    rng = np.random.RandomState(1)
+    disp = rng.rand(1, 1, 4, 6).astype(np.float32) * 10
+    want = (
+        8 * F.interpolate(torch.from_numpy(disp), size=(32, 48), mode="bilinear", align_corners=True)
+    ).numpy()
+    got = ops.upsample_simple8(jnp.asarray(disp.transpose(0, 2, 3, 1)))
+    np.testing.assert_allclose(np.asarray(got).transpose(0, 3, 1, 2), want, atol=1e-4)
+
+
+def test_resize_bilinear_halfpixel_matches_torch():
+    torch = pytest.importorskip("torch")
+    import torch.nn.functional as F
+
+    rng = np.random.RandomState(2)
+    img = rng.rand(2, 3, 9, 13).astype(np.float32)
+    want = F.interpolate(torch.from_numpy(img), size=(5, 7), mode="bilinear", align_corners=False).numpy()
+    got = ops.resize_bilinear(jnp.asarray(img.transpose(0, 2, 3, 1)), (5, 7), align_corners=False)
+    np.testing.assert_allclose(np.asarray(got).transpose(0, 3, 1, 2), want, atol=1e-5)
+
+
+def test_scale_disp_scales_values():
+    disp = jnp.ones((1, 4, 8, 1)) * 5.0
+    out = ops.scale_disp(disp, (8, 16))
+    assert out.shape == (1, 8, 16, 1)
+    np.testing.assert_allclose(np.asarray(out), 10.0, atol=1e-5)
+
+
+def test_disp_warp_integer_shift():
+    """Integer disparity d shifts the image right by d columns."""
+    rng = np.random.RandomState(3)
+    img = rng.rand(1, 4, 10, 3).astype(np.float32)
+    disp = jnp.full((1, 4, 10, 1), 2.0)
+    warped, valid = ops.disp_warp(jnp.asarray(img), disp)
+    np.testing.assert_allclose(np.asarray(warped)[:, :, 2:], img[:, :, :-2], atol=1e-6)
+    v = np.asarray(valid)
+    assert (v[:, :, 2:] == 1).all()
+    assert (v[:, :, :2] == 0).all()
+
+
+def test_disp_warp_zero_disp_identity():
+    rng = np.random.RandomState(4)
+    img = rng.rand(1, 3, 8, 2).astype(np.float32)
+    warped, valid = ops.disp_warp(jnp.asarray(img), jnp.zeros((1, 3, 8, 1)))
+    np.testing.assert_allclose(np.asarray(warped), img, atol=1e-6)
+    assert (np.asarray(valid) == 1).all()
+
+
+def test_corr1d_pyramid_and_lookup():
+    rng = np.random.RandomState(5)
+    f1 = jnp.asarray(rng.randn(1, 3, 16, 8).astype(np.float32))
+    f2 = jnp.asarray(rng.randn(1, 3, 16, 8).astype(np.float32))
+    corr = ops.allpairs_corr1d(f1, f2)
+    assert corr.shape == (1, 3, 16, 16)
+    want = (np.asarray(f1)[0, 1, 4] * np.asarray(f2)[0, 1, 9]).sum() / np.sqrt(8)
+    np.testing.assert_allclose(np.asarray(corr)[0, 1, 4, 9], want, rtol=1e-5)
+    pyr = ops.corr_pyramid(corr, 4)
+    assert [p.shape[-1] for p in pyr] == [16, 8, 4, 2]
+    np.testing.assert_allclose(
+        np.asarray(pyr[1])[..., 0], np.asarray(corr)[..., :2].mean(-1), atol=1e-6
+    )
+    coords = jnp.full((1, 3, 16), 5.0)
+    feat = ops.corr_lookup(pyr, coords, radius=4)
+    assert feat.shape == (1, 3, 16, 4 * 9)
+    # level-0 center tap == corr at w2=5
+    np.testing.assert_allclose(
+        np.asarray(feat)[..., 4], np.asarray(corr)[..., 5], atol=1e-5
+    )
