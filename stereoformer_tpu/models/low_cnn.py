@@ -1,0 +1,170 @@
+"""LowCNN — the local-cost-volume stereo model family (family A).
+
+One Flax module covers the reference's six variants
+(models/LocalCostVolume/baseline*.py — all share the identical backbone,
+e.g. baseline_dynamic_gru.py:44-66, 87-118) via the ``refinement`` field:
+
+  refinement            reference file                      outputs
+  "none"                baseline.py (adaptive_refinement=F) [disp]
+  "fixed"               baseline.py:38 (radius=2, 20)       [disp0, disp1]
+  "variance"            baseline_var.py:39 (γ=1, 20)        [disp0, disp1]
+  "learned"             baseline_dynamic.py:39              [disp0, disp1]
+  "learned_supervised"  baseline_dynamic_supervised.py      [disp0, disp1] + bounds + disp_low
+  "gru"                 baseline_dynamic_gru.py:40-41       list[iters]
+  "gru_feature"         baseline_dynamic_gru2.py (updatev2) list[iters]
+
+Backbone: siamese conv stack to 1/8 (7×7 s2 → ResBlock s2 → ResBlock s2),
+three further ResBlocks to 1/8·256, 1/16·512, 1/32·512, top-down FPN
+fusion to a single 1/8·256 feature, 24-bin correlation volume (MXU banded
+matmul), 3 ResBlocks of aggregation, soft-argmin, then the variant's
+refinement and learned 8× convex upsampling.
+
+TPU notes: everything is NHWC with static shapes; the GRU iterations are
+a statically-unrolled loop (12 small-conv steps — XLA fuses across
+iterations; the reference unrolls through autograd the same way,
+baseline_dynamic_gru.py:128-139).  Use ``jax.checkpoint`` around the
+train-step loss for rematerialisation if memory-bound.
+
+Deliberate deviation: the reference trainer accidentally trains with ONE
+GRU iteration (``net(left, right, True)`` puts ``True`` in the ``iters``
+slot, trainer_DLC_GRU.py:185 — SURVEY §3.1); here ``iters`` is always an
+explicit integer (train default 12) so train and eval compute match.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax.numpy as jnp
+import flax.linen as nn
+
+from .. import ops
+from ..nn.blocks import ConvLReLU, FPNFusion, ResBlock, he_normal
+from ..nn.update import GRUUpdate, LearnedBounds, _images_at
+
+
+class ConvAffinityUpsample(nn.Module):
+    """conv-relu-conv → 8·8·9 convex-upsample mask logits, ×0.25
+    (models/utils/upsample.py:6-19)."""
+
+    hidden: int = 128
+
+    @nn.compact
+    def __call__(self, feature):
+        x = nn.relu(
+            nn.Conv(self.hidden, (3, 3), padding=1, kernel_init=he_normal())(feature)
+        )
+        return 0.25 * nn.Conv(8 * 8 * 9, (1, 1), kernel_init=he_normal())(x)
+
+
+class LowCNN(nn.Module):
+    max_disp: int = 192
+    refinement: str = "gru"
+    upsample: str = "convex"         # "convex" | "simple"
+    cost_volume: str = "correlation"
+    num_samples: int = 20
+    gru_hidden: int = 32
+    radius: float = 2.0
+    gamma: float = 1.0
+
+    @nn.compact
+    def __call__(
+        self,
+        left: jnp.ndarray,
+        right: jnp.ndarray,
+        iters: int = 12,
+        train: bool = True,
+    ) -> dict:
+        """left/right: normalized images [B, H, W, 3] (H, W multiples of 8).
+
+        Returns a dict:
+          "disparities": list of full-resolution [B, H, W, 1] predictions
+                         (loss is applied to the whole list).
+          "disp_low":    the 1/8-scale initial disparity [B, H/8, W/8, 1].
+          "bounds":      (lower, upper) at 1/8 for the supervised range
+                         loss (learned_supervised only).
+        """
+        D = self.max_disp // 8
+
+        # --- siamese backbone (shared weights) ---
+        conv1 = ConvLReLU(64, kernel_size=7, stride=2)
+        conv2 = ResBlock(128, stride=2)
+        conv3 = ResBlock(256, stride=2)
+        down1 = ResBlock(256, stride=1)
+        down2 = ResBlock(512, stride=2)
+        down3 = ResBlock(512, stride=2)
+        fusion = FPNFusion(channels=(512, 512, 256))
+
+        def extract(img):
+            x = conv1(img, train=train)
+            x = conv2(x, train=train)
+            x = conv3(x, train=train)
+            f8 = down1(x, train=train)
+            f16 = down2(f8, train=train)
+            f32 = down3(f16, train=train)
+            return fusion([f32, f16, f8], train=train)
+
+        feat_l = extract(left)
+        feat_r = extract(right)
+
+        # --- 1/8 cost volume + aggregation + soft-argmin ---
+        volume = ops.correlation_volume(feat_l, feat_r, D)
+        for i in range(3):
+            volume = ResBlock(D, name=f"agg{i}")(volume, train=train)
+        disp_low = ops.soft_argmin(volume)[..., None]     # [B, H/8, W/8, 1]
+
+        def up(disp, mask):
+            if self.upsample == "convex":
+                return ops.upsample_convex8(disp, mask)
+            return ops.upsample_simple8(disp)
+
+        out: dict = {"disp_low": disp_low}
+
+        if self.refinement in ("gru", "gru_feature"):
+            update = GRUUpdate(
+                hidden=self.gru_hidden,
+                num_samples=self.num_samples,
+                with_mask=True,
+                feature_dim=64 if self.refinement == "gru_feature" else 0,
+            )
+            disp, hidden = disp_low, None
+            preds = []
+            for _ in range(iters):
+                disp, hidden, mask = update(
+                    volume, disp, left, right, hidden,
+                    left_feature=feat_l if self.refinement == "gru_feature" else None,
+                    train=train,
+                )
+                preds.append(up(disp, mask))
+            out["disparities"] = preds
+            return out
+
+        # non-GRU variants share one affinity mask from the left feature
+        mask = (
+            ConvAffinityUpsample()(feat_l) if self.upsample == "convex" else None
+        )
+        if self.refinement == "none":
+            out["disparities"] = [up(disp_low, mask)]
+            return out
+        if self.refinement == "fixed":
+            refined = ops.fixed_local_cost_volume(
+                volume, disp_low, self.radius, self.num_samples,
+                consider_valid=True,
+            )
+        elif self.refinement == "variance":
+            refined = ops.variance_local_cost_volume(
+                volume, disp_low, self.gamma, self.num_samples,
+                consider_valid=True,
+            )
+        elif self.refinement in ("learned", "learned_supervised"):
+            supervised = self.refinement == "learned_supervised"
+            refined, bounds = LearnedBounds(
+                num_samples=self.num_samples, relative=supervised
+            )(volume, disp_low, left, right, train=train,
+              consider_valid=not supervised)
+            if supervised:
+                out["bounds"] = bounds
+        else:
+            raise ValueError(f"unknown refinement {self.refinement!r}")
+        out["disparities"] = [up(disp_low, mask), up(refined, mask)]
+        return out

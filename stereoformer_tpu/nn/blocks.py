@@ -1,0 +1,205 @@
+"""Reusable Flax building blocks (NHWC).
+
+Capability map to the reference:
+- ``ConvLReLU``    — ``models/utils/disp_residual.py:11-23`` (conv [+BN] + LeakyReLU 0.1)
+- ``ConvBnRelu``   — ``models/utils/feature_fusion.py:84-96`` (BaseLayer)
+- ``ResBlock``     — ``models/BasicBlocks/resnet.py:20-48``
+- ``DeformConv``   — ``deform/modules/modulated_deform_conv.py:68-103``
+  (ModulatedDeformConvPack: offsets+mask predicted by a zero-initialised
+  conv, then the Pallas/XLA deformable sampling op)
+- ``DeformBlock``  — ``models/BasicBlocks/resnet.py:51-79``
+- ``FPNFusion``    — ``models/utils/feature_fusion.py:99-125``
+  ("TransformerConcated": top-down upsample→concat→conv fusion)
+
+BatchNorm uses flax running stats (torch momentum 0.1 ⇒ flax momentum 0.9);
+under SPMD data parallelism with jit+NamedSharding the batch statistics are
+global automatically (XLA inserts the cross-device reductions for the
+batch-axis mean), so no axis_name plumbing is needed.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+import jax.numpy as jnp
+import flax.linen as nn
+
+from ..ops import modulated_deform_conv, resize_bilinear
+
+he_normal = nn.initializers.he_normal
+
+
+class ConvLReLU(nn.Module):
+    """conv(+BN) + LeakyReLU(0.1) — reference ``conv`` helper."""
+
+    features: int
+    kernel_size: int = 3
+    stride: int = 1
+    use_bn: bool = False
+
+    @nn.compact
+    def __call__(self, x, train: bool = True):
+        x = nn.Conv(
+            self.features,
+            (self.kernel_size, self.kernel_size),
+            strides=self.stride,
+            padding=(self.kernel_size - 1) // 2,
+            use_bias=not self.use_bn,
+            kernel_init=he_normal(),
+        )(x)
+        if self.use_bn:
+            x = nn.BatchNorm(use_running_average=not train, momentum=0.9)(x)
+        return nn.leaky_relu(x, negative_slope=0.1)
+
+
+class ConvBnRelu(nn.Module):
+    """conv3x3 + BN + ReLU — reference BaseLayer."""
+
+    features: int
+    kernel_size: int = 3
+    stride: int = 1
+
+    @nn.compact
+    def __call__(self, x, train: bool = True):
+        x = nn.Conv(
+            self.features,
+            (self.kernel_size, self.kernel_size),
+            strides=self.stride,
+            padding=self.kernel_size // 2,
+            use_bias=False,
+            kernel_init=he_normal(),
+        )(x)
+        x = nn.BatchNorm(use_running_average=not train, momentum=0.9)(x)
+        return nn.relu(x)
+
+
+class ResBlock(nn.Module):
+    """conv-BN-ReLU + conv-BN with 1×1-conv-BN shortcut when shape changes
+    (resnet.py:20-48). Final ReLU after the residual add."""
+
+    features: int
+    kernel_size: int = 3
+    stride: int = 1
+
+    @nn.compact
+    def __call__(self, x, train: bool = True):
+        norm = lambda: nn.BatchNorm(use_running_average=not train, momentum=0.9)
+        residual = x
+        if self.stride != 1 or x.shape[-1] != self.features:
+            residual = nn.Conv(
+                self.features, (1, 1), strides=self.stride,
+                kernel_init=he_normal(), name="shortcut_conv",
+            )(x)
+            residual = norm()(residual)
+        out = nn.Conv(
+            self.features,
+            (self.kernel_size, self.kernel_size),
+            strides=self.stride,
+            padding=1,
+            kernel_init=he_normal(),
+        )(x)
+        out = norm()(out)
+        out = nn.relu(out)
+        out = nn.Conv(self.features, (3, 3), padding=1, kernel_init=he_normal())(out)
+        out = norm()(out)
+        return nn.relu(out + residual)
+
+
+class DeformConv(nn.Module):
+    """Modulated deformable conv "Pack": offsets and modulation mask come
+    from a zero-initialised conv on the input, then the deformable sampling
+    op + matmul.  Replaces the reference's CUDA DCNv2 extension
+    (modulated_deform_conv.py:68-103; kernel pipeline
+    deform/src/cuda/modulated_deform_conv_cuda.cu:20-110).
+    """
+
+    features: int
+    kernel_size: int = 3
+    stride: int = 1
+    padding: int = 1
+    dilation: int = 1
+
+    @nn.compact
+    def __call__(self, x):
+        k = self.kernel_size
+        K = k * k
+        C = x.shape[-1]
+        # offset/mask conv is zero-initialised so the op starts as a plain
+        # conv with 0.5 modulation (ModulatedDeformConvPack.init_offset)
+        om = nn.Conv(
+            3 * K,
+            (k, k),
+            strides=self.stride,
+            padding=self.padding,
+            kernel_init=nn.initializers.zeros,
+            bias_init=nn.initializers.zeros,
+            name="offset_mask",
+        )(x)
+        offsets = om[..., : 2 * K].reshape(*om.shape[:-1], K, 2)
+        mask = nn.sigmoid(om[..., 2 * K :])
+        weight = self.param(
+            "weight", he_normal(), (K * C, self.features), jnp.float32
+        )
+        bias = self.param("bias", nn.initializers.zeros, (self.features,), jnp.float32)
+        return modulated_deform_conv(
+            x,
+            offsets,
+            mask,
+            weight,
+            bias,
+            kernel_size=k,
+            stride=self.stride,
+            padding=self.padding,
+            dilation=self.dilation,
+        )
+
+
+class DeformBlock(nn.Module):
+    """ResBlock whose second conv is a modulated deformable conv
+    (resnet.py:51-79)."""
+
+    features: int
+    kernel_size: int = 3
+    stride: int = 1
+
+    @nn.compact
+    def __call__(self, x, train: bool = True):
+        norm = lambda: nn.BatchNorm(use_running_average=not train, momentum=0.9)
+        residual = x
+        if self.stride != 1 or x.shape[-1] != self.features:
+            residual = nn.Conv(
+                self.features, (1, 1), strides=self.stride,
+                kernel_init=he_normal(), name="shortcut_conv",
+            )(x)
+            residual = norm()(residual)
+        out = nn.Conv(
+            self.features,
+            (self.kernel_size, self.kernel_size),
+            strides=self.stride,
+            padding=1,
+            kernel_init=he_normal(),
+        )(x)
+        out = norm()(out)
+        out = nn.relu(out)
+        out = DeformConv(self.features)(out)
+        out = norm()(out)
+        return nn.relu(out + residual)
+
+
+class FPNFusion(nn.Module):
+    """Top-down feature fusion over [1/32, 1/16, 1/8] features
+    (feature_fusion.py:99-125): upsample ×2 (align_corners=True) → concat
+    skip → conv-BN-ReLU, returning the finest-level fused map."""
+
+    channels: Sequence[int]  # coarse-to-fine, e.g. (512, 512, 256)
+
+    @nn.compact
+    def __call__(self, features: Sequence[jnp.ndarray], train: bool = True):
+        out = features[0]
+        for i in range(len(self.channels) - 1):
+            skip = features[i + 1]
+            H, W = skip.shape[1:3]
+            out = resize_bilinear(out, (H, W), align_corners=True)
+            out = jnp.concatenate([out, skip], axis=-1)
+            out = ConvBnRelu(self.channels[i + 1])(out, train=train)
+        return out

@@ -1,0 +1,153 @@
+"""Data layer: PFM round-trip, transforms, list-file dataset, loader."""
+
+import os
+
+import numpy as np
+import pytest
+
+from stereoformer_tpu import data
+
+
+def test_pfm_roundtrip(tmp_path):
+    rng = np.random.RandomState(0)
+    disp = rng.rand(37, 53).astype(np.float32) * 100
+    p = str(tmp_path / "d.pfm")
+    data.write_pfm(p, disp)
+    back, scale = data.read_pfm(p)
+    np.testing.assert_allclose(back, disp, atol=1e-6)
+    # read_disp wrapper
+    np.testing.assert_allclose(data.read_disp(p), disp, atol=1e-6)
+
+
+def test_kitti_png_roundtrip(tmp_path):
+    from PIL import Image
+
+    disp = (np.random.RandomState(0).rand(10, 12) * 100 * 256).astype(np.uint16)
+    p = str(tmp_path / "d.png")
+    Image.fromarray(disp).save(p)
+    back = data.read_disp(p)
+    np.testing.assert_allclose(back, disp.astype(np.float32) / 256.0, atol=1e-6)
+
+
+def test_random_crop_and_pad():
+    rng = np.random.default_rng(0)
+    s = {
+        "img_left": np.ones((100, 200, 3), np.float32),
+        "img_right": np.ones((100, 200, 3), np.float32),
+        "gt_disp": np.ones((100, 200), np.float32),
+    }
+    out = data.random_crop(dict(s), 64, 128, rng)
+    assert out["img_left"].shape == (64, 128, 3)
+    assert out["gt_disp"].shape == (64, 128)
+    # pad path: top-pad + right-pad with zeros (reference semantics)
+    out2 = data.random_crop(dict(s), 128, 256, rng)
+    assert out2["img_left"].shape == (128, 256, 3)
+    assert (out2["img_left"][:28] == 0).all()       # top pad
+    assert (out2["img_left"][:, 200:] == 0).all()   # right pad
+    assert (out2["img_left"][28:, :200] == 1).all()
+
+
+def test_normalize_matches_reference_constants():
+    s = {
+        "img_left": np.full((4, 4, 3), 127.5, np.float32),
+        "img_right": np.full((4, 4, 3), 127.5, np.float32),
+    }
+    out = data.normalize(data.to_unit(dict(s)))
+    want = (0.5 - data.IMAGENET_MEAN) / data.IMAGENET_STD
+    np.testing.assert_allclose(out["img_left"][0, 0], want, rtol=1e-5)
+
+
+def test_random_color_preserves_shape_and_range():
+    rng = np.random.default_rng(3)
+    img = np.random.RandomState(0).rand(16, 16, 3).astype(np.float32) * 255
+    s = {"img_left": img.copy(), "img_right": img.copy()}
+    out = data.random_color(s, rng)
+    assert out["img_left"].shape == (16, 16, 3)
+    assert out["img_left"].min() >= 0 and out["img_left"].max() <= 255
+
+
+def test_dummy_dataset_consistency():
+    ds = data.DummyStereoDataset(length=2, height=64, width=128, max_disp=16)
+    s = ds[0]
+    assert s["img_left"].shape == (64, 128, 3)
+    assert s["gt_disp"].shape == (64, 128)
+    assert s["gt_disp"].min() >= 4.0 and s["gt_disp"].max() <= 16.0
+    # determinism
+    s2 = ds[0]
+    np.testing.assert_array_equal(s["img_left"], s2["img_left"])
+    # warp consistency: right(x) ≈ left(x+d) where in-bounds
+    d = s["gt_disp"]
+    x = np.arange(128)[None, :] + d
+    ok = x < 127
+    # sampled check at integer-ish positions
+    err = []
+    for y in range(0, 64, 7):
+        for xx in range(0, 100, 11):
+            if ok[y, xx]:
+                src = x[y, xx]
+                x0 = int(np.floor(src))
+                t = src - x0
+                want = s["img_left"][y, x0, 0] * (1 - t) + s["img_left"][y, x0 + 1, 0] * t
+                err.append(abs(s["img_right"][y, xx, 0] - want))
+    assert np.mean(err) < 1e-3
+
+
+def test_list_file_dataset(tmp_path):
+    # build a tiny on-disk dataset in the reference list-file format
+    from PIL import Image
+
+    ddir = tmp_path / "dataroot"
+    (ddir / "L").mkdir(parents=True)
+    (ddir / "R").mkdir()
+    (ddir / "D").mkdir()
+    rng = np.random.RandomState(0)
+    lines = []
+    for i in range(3):
+        li, ri = (rng.rand(32, 48, 3) * 255).astype(np.uint8), (
+            rng.rand(32, 48, 3) * 255
+        ).astype(np.uint8)
+        Image.fromarray(li).save(ddir / "L" / f"{i}.png")
+        Image.fromarray(ri).save(ddir / "R" / f"{i}.png")
+        data.write_pfm(str(ddir / "D" / f"{i}.pfm"), rng.rand(32, 48).astype(np.float32) * 30)
+        lines.append(f"L/{i}.png R/{i}.png D/{i}.pfm")
+    lst = tmp_path / "train.list"
+    lst.write_text("\n".join(lines))
+
+    ds = data.StereoDataset(
+        str(ddir), str(lst), str(lst), dataset_name="SceneFlow", mode="train"
+    )
+    assert len(ds) == 3
+    s = ds[1]
+    assert s["img_left"].shape == (32, 48, 3)
+    assert s["gt_disp"].shape == (32, 48)
+
+    loader = data.DataLoader(
+        ds, batch_size=2, shuffle=True, num_workers=2, seed=0,
+        transform_with_rng=lambda s, rng: data.transforms.train_transform(
+            s, rng, crop=(16, 32)
+        ),
+    )
+    batches = list(loader)
+    assert len(batches) == 1
+    b = batches[0]
+    assert b["img_left"].shape == (2, 16, 32, 3)
+    assert b["gt_disp"].shape == (2, 16, 32, 1)
+    # deterministic across re-iteration (same epoch)
+    b2 = next(iter(loader))
+    np.testing.assert_array_equal(b["img_left"], b2["img_left"])
+    loader.set_epoch(1)
+    b3 = next(iter(loader))
+    assert not np.array_equal(b["img_left"], b3["img_left"])
+
+
+def test_loader_worker_error_propagates():
+    class Bad:
+        def __len__(self):
+            return 4
+
+        def __getitem__(self, i):
+            raise RuntimeError("decode failed")
+
+    loader = data.DataLoader(Bad(), batch_size=2, num_workers=2)
+    with pytest.raises(RuntimeError, match="decode failed"):
+        next(iter(loader))

@@ -1,0 +1,89 @@
+"""LowCNN family: init + forward shape/finite checks for every variant,
+and a gradient-flows test for the GRU variant."""
+
+import numpy as np
+import pytest
+import jax
+import jax.numpy as jnp
+
+from stereoformer_tpu.models import LowCNN, available_models, get_model
+
+B, H, W = 1, 32, 64
+
+
+@pytest.fixture(scope="module")
+def images():
+    rng = np.random.RandomState(0)
+    left = jnp.asarray(rng.randn(B, H, W, 3).astype(np.float32))
+    right = jnp.asarray(rng.randn(B, H, W, 3).astype(np.float32))
+    return left, right
+
+
+def _run(model, images, **kw):
+    left, right = images
+    variables = model.init(jax.random.PRNGKey(0), left, right, train=False, **kw)
+    out = model.apply(variables, left, right, train=False, **kw)
+    return variables, out
+
+
+@pytest.mark.parametrize(
+    "refinement,n_out",
+    [("none", 1), ("fixed", 2), ("variance", 2), ("learned", 2),
+     ("learned_supervised", 2)],
+)
+def test_variants_forward(images, refinement, n_out):
+    model = LowCNN(refinement=refinement)
+    _, out = _run(model, images)
+    assert len(out["disparities"]) == n_out
+    for d in out["disparities"]:
+        assert d.shape == (B, H, W, 1)
+        assert bool(jnp.isfinite(d).all())
+    assert out["disp_low"].shape == (B, H // 8, W // 8, 1)
+    assert float(out["disp_low"].min()) >= 0
+    if refinement == "learned_supervised":
+        lo, up = out["bounds"]
+        assert lo.shape == (B, H // 8, W // 8, 1)
+
+
+@pytest.mark.parametrize("refinement", ["gru", "gru_feature"])
+def test_gru_variants_forward(images, refinement):
+    model = LowCNN(refinement=refinement)
+    _, out = _run(model, images, iters=3)
+    assert len(out["disparities"]) == 3
+    for d in out["disparities"]:
+        assert d.shape == (B, H, W, 1)
+        assert bool(jnp.isfinite(d).all())
+
+
+def test_gru_gradients_flow(images):
+    left, right = images
+    model = LowCNN(refinement="gru")
+    variables = model.init(jax.random.PRNGKey(0), left, right, iters=2, train=True)
+    params = variables["params"]
+
+    def loss_fn(p):
+        out, _ = model.apply(
+            {"params": p, "batch_stats": variables["batch_stats"]},
+            left, right, iters=2, train=True, mutable=["batch_stats"],
+        )
+        return sum(jnp.abs(d).mean() for d in out["disparities"])
+
+    grads = jax.grad(loss_fn)(params)
+    flat = jax.tree_util.tree_leaves(grads)
+    assert all(bool(jnp.isfinite(g).all()) for g in flat)
+    # the GRU offset head must receive gradient (STE/lerp path intact)
+    nonzero = [float(jnp.abs(g).sum()) > 0 for g in flat]
+    assert sum(nonzero) > len(nonzero) * 0.8
+
+
+def test_registry_names(images):
+    names = available_models()
+    assert "LowCNN_gru" in names and "LowCNN_ada" in names
+    m = get_model("LowCNN_gru")
+    assert m.refinement == "gru"
+
+
+def test_simple_upsample_path(images):
+    model = LowCNN(refinement="none", upsample="simple")
+    _, out = _run(model, images)
+    assert out["disparities"][0].shape == (B, H, W, 1)
