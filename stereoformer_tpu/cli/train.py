@@ -1,0 +1,159 @@
+"""Training CLI — flag-compatible with the reference ``train_low.py:82-113``
+(plus TPU-specific flags), runnable as
+``python -m stereoformer_tpu.cli.train``.
+
+Round/epoch structure, checkpoint naming and best-EPE tracking mirror
+``train_low.py:25-80``.
+"""
+
+from __future__ import annotations
+
+import argparse
+import datetime
+import os
+import random
+
+import numpy as np
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser("stereoformer_tpu train")
+    # reference flags (train_low.py:83-113)
+    p.add_argument("--net", type=str, default="LowCNN_gru")
+    p.add_argument("--loss", type=str, default=None,
+                   help="loss-schedule JSON (config/loss_config_disp.json)")
+    p.add_argument("--lr", type=float, default=1e-3)
+    p.add_argument("--devices", type=str, default="all",
+                   help="'all' or comma list of device indices")
+    p.add_argument("--dataset", type=str, default="SceneFlow")
+    p.add_argument("--trainlist", type=str, default="")
+    p.add_argument("--vallist", type=str, default="")
+    p.add_argument("--datapath", type=str, default="")
+    p.add_argument("--batch_size", type=int, default=4)
+    p.add_argument("--test_batch", type=int, default=4)
+    p.add_argument("--maxdisp", type=int, default=192)
+    p.add_argument("--use_deform", action="store_true")
+    p.add_argument("--pretrain", type=str, default="none")
+    p.add_argument("--outf", type=str, default="./saved_models")
+    p.add_argument("--save_logdir", type=str, default="./logs")
+    p.add_argument("--startRound", type=int, default=0)
+    p.add_argument("--startEpoch", type=int, default=0)
+    p.add_argument("--manualSeed", type=int, default=1024)
+    # TPU-framework flags
+    p.add_argument("--train_iters", type=int, default=12,
+                   help="GRU iterations during training (the reference "
+                        "accidentally used 1; see SURVEY §3.1)")
+    p.add_argument("--eval_iters", type=int, default=12)
+    p.add_argument("--loss_name", type=str, default=None,
+                   choices=[None, "sequence", "equal", "single",
+                            "range_supervised"])
+    p.add_argument("--crop_h", type=int, default=320)
+    p.add_argument("--crop_w", type=int, default=640)
+    p.add_argument("--workers", type=int, default=None)
+    p.add_argument("--remat", action="store_true")
+    p.add_argument("--color_aug", action="store_true")
+    p.add_argument("--no_mesh", action="store_true",
+                   help="disable the device mesh (single-device debug)")
+    p.add_argument("--epochs", type=int, default=None,
+                   help="override epochs per round")
+    return p
+
+
+def main(argv=None):
+    opt = build_parser().parse_args(argv)
+    os.makedirs(opt.outf, exist_ok=True)
+    os.makedirs(opt.save_logdir, exist_ok=True)
+
+    import jax
+
+    from ..parallel import make_mesh
+    from ..train import DisparityTrainer, save_checkpoint
+    from ..utils import get_logger, load_loss_scheme
+
+    logger = get_logger(os.path.join(opt.outf, "train.log"))
+
+    random.seed(opt.manualSeed)
+    np.random.seed(opt.manualSeed)
+
+    if opt.loss:
+        scheme = load_loss_scheme(opt.loss)
+        train_round = scheme["round"]
+        epochs = scheme["epoches"]
+        loss_weights = scheme.get("loss_weights")
+    else:
+        train_round, epochs, loss_weights = 1, [opt.epochs or 70], None
+    if opt.epochs is not None:
+        epochs = [opt.epochs] * train_round
+
+    devices = jax.devices()
+    if opt.devices not in ("all", ""):
+        idx = [int(d) for d in opt.devices.split(",")]
+        devices = [devices[i] for i in idx]
+    # a 1-device mesh buys nothing and sharding annotations are not
+    # supported by every PJRT transport — only mesh up when actually DP
+    mesh = None if (opt.no_mesh or len(devices) < 2) else make_mesh(devices)
+    logger.info("mesh: %s (%d devices)", mesh, len(devices))
+
+    trainer = DisparityTrainer(
+        lr=opt.lr,
+        dataset=opt.dataset,
+        trainlist=opt.trainlist,
+        vallist=opt.vallist,
+        datapath=opt.datapath,
+        batch_size=opt.batch_size,
+        maxdisp=opt.maxdisp,
+        pretrain=opt.pretrain,
+        model=opt.net,
+        test_batch=opt.test_batch,
+        loss=opt.loss_name,
+        train_iters=opt.train_iters,
+        eval_iters=opt.eval_iters,
+        crop_size=(opt.crop_h, opt.crop_w),
+        num_workers=opt.workers,
+        seed=opt.manualSeed,
+        mesh=mesh,
+        remat=opt.remat,
+        color_aug=opt.color_aug,
+    )
+    trainer.initialize()
+
+    writer = None
+    try:
+        from torch.utils.tensorboard import SummaryWriter
+
+        writer = SummaryWriter(opt.save_logdir)
+    except Exception:
+        logger.info("tensorboard unavailable; scalar logging to stdout only")
+
+    best_epe, best_index = -1.0, 0
+    if trainer.is_pretrain:
+        best_epe = trainer.validate(writer, epoch=opt.startEpoch)
+
+    iterations = 0
+    start_epoch = opt.startEpoch
+    for r in range(opt.startRound, train_round):
+        end_epoch = epochs[r] if r < len(epochs) else epochs[-1]
+        logger.info("round %d (%d epochs)%s", r, end_epoch,
+                    f" weights {loss_weights[r]}" if loss_weights else "")
+        for i in range(start_epoch, end_epoch):
+            avg_loss, avg_epe, iterations = trainer.train_one_epoch(
+                i, r, iterations, writer
+            )
+            val_epe = trainer.validate(writer, i)
+            is_best = best_epe < 0 or val_epe < best_epe
+            if is_best:
+                best_epe, best_index = val_epe, i
+            save_checkpoint(
+                opt.outf, trainer.get_model(), opt.net, r, i, val_epe, is_best
+            )
+            logger.info(
+                "Validation[epoch:%d]: %s loss %.4f trainEPE %.4f valEPE %.4f lr %.2e",
+                i, datetime.datetime.now().strftime("%Y-%m-%d %H:%M:%S"),
+                avg_loss, avg_epe, val_epe, trainer.current_lr,
+            )
+            logger.info("min epe from epoch %d", best_index)
+        start_epoch = 0
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,118 @@
+"""RAFTStereo — the iterative all-pairs correlation family (family B).
+
+Re-design of ``models/IterativeLocalCostVolume/raft_stereo.py:63-199``:
+context net (per-scale hidden/context heads) + shared feature net at
+1/2^downsample, all-pairs 1D epipolar correlation pyramid (one MXU matmul
+per row), and an N-iteration multi-scale GRU cascade whose flow update is
+constrained to the epipolar line (Δflow_y = 0, raft_stereo.py:180),
+finished by a learned convex 2^downsample× upsample.
+
+Inputs are raw 0..255 RGB (normalised to [-1, 1] internally,
+raft_stereo.py:132-133) — unlike LowCNN, which takes ImageNet-normalised
+images; this mirrors the reference's split behaviour.
+
+The iteration loop is statically unrolled under jit; ``test_mode`` only
+upsamples the final iteration (raft_stereo.py:182-183).
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+import flax.linen as nn
+
+from .. import ops
+from ..nn.raft.encoders import BasicEncoder, MultiBasicEncoder, he_out
+from ..nn.raft.update import MultiUpdateBlock
+
+
+class RAFTStereo(nn.Module):
+    hidden_dims: Sequence[int] = (128, 128, 128)
+    downsample: int = 2
+    corr_levels: int = 4
+    corr_radius: int = 4
+    n_gru_layers: int = 3
+
+    @nn.compact
+    def __call__(
+        self,
+        left: jnp.ndarray,
+        right: jnp.ndarray,
+        iters: int = 12,
+        flow_init: Optional[jnp.ndarray] = None,
+        test_mode: bool = False,
+        train: bool = True,
+    ):
+        left = 2.0 * (left / 255.0) - 1.0
+        right = 2.0 * (right / 255.0) - 1.0
+
+        cnet = MultiBasicEncoder(
+            output_dims=(tuple(self.hidden_dims), tuple(self.hidden_dims)),
+            norm="batch", downsample=self.downsample,
+            num_layers=self.n_gru_layers, name="cnet",
+        )
+        fnet = BasicEncoder(
+            output_dim=256, norm="instance", downsample=self.downsample,
+            name="fnet",
+        )
+
+        cnet_list = cnet(left, train=train)
+        # batch-concat trick (extractor.py:176-197): one pass, then split
+        fmaps = fnet(jnp.concatenate([left, right], axis=0), train=train)
+        fmap1, fmap2 = jnp.split(fmaps, 2, axis=0)
+
+        net = [jnp.tanh(h) for h, _ in cnet_list]
+        inp = [nn.relu(c) for _, c in cnet_list]
+        # per-scale context gate biases (raft_stereo.py:148)
+        ctx = []
+        for i, c in enumerate(inp):
+            z = nn.Conv(
+                self.hidden_dims[i] * 3, (3, 3), padding=1,
+                kernel_init=he_out(), name=f"context_zqr{i}",
+            )(c)
+            ctx.append(tuple(jnp.split(z, 3, axis=-1)))
+
+        corr = ops.allpairs_corr1d(fmap1, fmap2)          # [B,H,W,W2]
+        pyramid = ops.corr_pyramid(corr, self.corr_levels)
+
+        update = MultiUpdateBlock(
+            hidden_dims=tuple(self.hidden_dims),
+            corr_levels=self.corr_levels,
+            corr_radius=self.corr_radius,
+            n_gru_layers=self.n_gru_layers,
+            n_downsample=self.downsample,
+            name="update_block",
+        )
+
+        B, H4, W4, _ = net[0].shape
+        coords0 = jnp.broadcast_to(
+            jnp.arange(W4, dtype=jnp.float32)[None, None, :], (B, H4, W4)
+        )
+        coords1 = coords0
+        flow_y = jnp.zeros((B, H4, W4, 1))
+        if flow_init is not None:
+            coords1 = coords1 + flow_init[..., 0]
+
+        factor = 2 ** self.downsample
+        preds = []
+        for itr in range(iters):
+            # per-iteration detach, as the reference (raft_stereo.py:172)
+            coords1 = jax.lax.stop_gradient(coords1)
+            corr_feat = ops.corr_lookup(pyramid, coords1, self.corr_radius)
+            flow = jnp.concatenate(
+                [(coords1 - coords0)[..., None], flow_y], axis=-1
+            )
+            net, mask, delta = update(net, ctx, corr_feat, flow)
+            # epipolar constraint: Δflow_y = 0 (raft_stereo.py:180)
+            coords1 = coords1 + delta[..., 0]
+            if test_mode and itr < iters - 1:
+                continue
+            flow_up = ops.upsample_convex(
+                (coords1 - coords0)[..., None], mask, factor
+            )
+            preds.append(flow_up)
+
+        out = {"disparities": preds, "flow_low": (coords1 - coords0)[..., None]}
+        return out

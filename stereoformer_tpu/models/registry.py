@@ -77,3 +77,12 @@ def _lowcnn_gru(**kw):
 def _lowcnn_gru2(**kw):
     kw.setdefault("refinement", "gru_feature")
     return LowCNN(**kw)
+
+
+# -- RAFT-Stereo family (models/IterativeLocalCostVolume) --
+
+@register("RAFT_Stereo")
+def _raft(**kw):
+    from .raft_stereo import RAFTStereo
+
+    return RAFTStereo(**kw)

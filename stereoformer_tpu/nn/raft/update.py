@@ -1,0 +1,141 @@
+"""RAFT-Stereo multi-scale GRU update cascade (NHWC Flax).
+
+Capability map (models/IterativeLocalCostVolume/update/update.py):
+- ``FlowHead``            — :6-14
+- ``ContextConvGRU``      — :16-33 (gates biased by the per-scale context
+  cz/cr/cq triplet)
+- ``BasicMotionEncoder``  — :66-91 (corr+flow → 128ch incl. the raw flow)
+- ``MultiUpdateBlock``    — :130-178: gru_coarse → gru_mid → gru_fine with
+  avg-pool / align-corners-bilinear cross-scale links, flow head and the
+  0.25-scaled convex-upsample mask head.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+import jax.numpy as jnp
+import flax.linen as nn
+
+from ...ops import resize_bilinear
+from .encoders import he_out
+
+
+def pool2x(x):
+    """3×3 stride-2 average pool, count_include_pad=True padding 1
+    (update.py:120-121)."""
+    return nn.avg_pool(
+        x, (3, 3), strides=(2, 2), padding=((1, 1), (1, 1)),
+        count_include_pad=True,
+    )
+
+
+def interp_to(x, ref):
+    """Bilinear align_corners=True resize to ref's spatial size
+    (update.py:126-128)."""
+    return resize_bilinear(x, ref.shape[1:3], align_corners=True)
+
+
+class FlowHead(nn.Module):
+    hidden: int = 256
+    out: int = 2
+
+    @nn.compact
+    def __call__(self, x):
+        x = nn.relu(nn.Conv(self.hidden, (3, 3), padding=1, kernel_init=he_out())(x))
+        return nn.Conv(self.out, (3, 3), padding=1, kernel_init=he_out())(x)
+
+
+class ContextConvGRU(nn.Module):
+    """ConvGRU whose z/r/q gates each get a context bias map
+    (update.py:16-33)."""
+
+    hidden_dim: int
+    kernel_size: int = 3
+
+    @nn.compact
+    def __call__(self, h, context, *inputs):
+        cz, cr, cq = context
+        x = jnp.concatenate(inputs, axis=-1)
+        hx = jnp.concatenate([h, x], axis=-1)
+        k = self.kernel_size
+        conv = lambda name: nn.Conv(
+            self.hidden_dim, (k, k), padding=k // 2,
+            kernel_init=he_out(), name=name,
+        )
+        z = nn.sigmoid(conv("convz")(hx) + cz)
+        r = nn.sigmoid(conv("convr")(hx) + cr)
+        q = nn.tanh(conv("convq")(jnp.concatenate([r * h, x], axis=-1)) + cq)
+        return (1 - z) * h + z * q
+
+
+class BasicMotionEncoder(nn.Module):
+    corr_levels: int = 4
+    corr_radius: int = 4
+
+    @nn.compact
+    def __call__(self, flow, corr):
+        c = nn.relu(nn.Conv(64, (1, 1), kernel_init=he_out())(corr))
+        c = nn.relu(nn.Conv(64, (3, 3), padding=1, kernel_init=he_out())(c))
+        f = nn.relu(nn.Conv(64, (7, 7), padding=3, kernel_init=he_out())(flow))
+        f = nn.relu(nn.Conv(64, (3, 3), padding=1, kernel_init=he_out())(f))
+        out = nn.relu(
+            nn.Conv(128 - 2, (3, 3), padding=1, kernel_init=he_out())(
+                jnp.concatenate([c, f], axis=-1)
+            )
+        )
+        return jnp.concatenate([out, flow], axis=-1)
+
+
+class MultiUpdateBlock(nn.Module):
+    """The 3-level GRU cascade.  ``net``/``inp`` are finest-first lists
+    (net[0] at 1/4 for downsample=2)."""
+
+    hidden_dims: Sequence[int] = (128, 128, 128)
+    corr_levels: int = 4
+    corr_radius: int = 4
+    n_gru_layers: int = 3
+    n_downsample: int = 2
+
+    @nn.compact
+    def __call__(self, net, inp, corr=None, flow=None,
+                 iter08=True, iter16=True, iter32=True, update=True):
+        net = list(net)
+        hd = self.hidden_dims
+        if iter32 and self.n_gru_layers == 3:
+            net[2] = ContextConvGRU(hd[0], name="gru32")(
+                net[2], inp[2], pool2x(net[1])
+            )
+        if iter16 and self.n_gru_layers >= 2:
+            if self.n_gru_layers > 2:
+                net[1] = ContextConvGRU(hd[1], name="gru16")(
+                    net[1], inp[1], pool2x(net[0]), interp_to(net[2], net[1])
+                )
+            else:
+                net[1] = ContextConvGRU(hd[1], name="gru16")(
+                    net[1], inp[1], pool2x(net[0])
+                )
+        if iter08:
+            motion = BasicMotionEncoder(
+                self.corr_levels, self.corr_radius, name="encoder"
+            )(flow, corr)
+            if self.n_gru_layers > 1:
+                net[0] = ContextConvGRU(hd[2], name="gru08")(
+                    net[0], inp[0], motion, interp_to(net[1], net[0])
+                )
+            else:
+                net[0] = ContextConvGRU(hd[2], name="gru08")(
+                    net[0], inp[0], motion
+                )
+        if not update:
+            return net
+        delta_flow = FlowHead(name="flow_head")(net[0])
+        factor = 2 ** self.n_downsample
+        m = nn.relu(
+            nn.Conv(256, (3, 3), padding=1, kernel_init=he_out(),
+                    name="mask_conv1")(net[0])
+        )
+        mask = 0.25 * nn.Conv(
+            factor * factor * 9, (1, 1), kernel_init=he_out(), name="mask_conv2"
+        )(m)
+        return net, mask, delta_flow

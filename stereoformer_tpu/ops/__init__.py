@@ -25,7 +25,7 @@ from .local_volume import (
     resample_volume,
     variance_local_cost_volume,
 )
-from .upsample import neighborhood9, upsample_convex8, upsample_simple8
+from .upsample import neighborhood9, upsample_convex, upsample_convex8, upsample_simple8
 from .resize import resize_bilinear, scale_disp
 from .warp import disp_warp, lr_warp_error
 from .corr1d import allpairs_corr1d, corr_lookup, corr_pyramid
@@ -48,6 +48,7 @@ __all__ = [
     "resample_volume",
     "variance_local_cost_volume",
     "neighborhood9",
+    "upsample_convex",
     "upsample_convex8",
     "upsample_simple8",
     "resize_bilinear",

@@ -34,22 +34,31 @@ def neighborhood9(x: jnp.ndarray) -> jnp.ndarray:
     return jnp.stack(outs, axis=3)
 
 
-def upsample_convex8(disp: jnp.ndarray, mask: jnp.ndarray) -> jnp.ndarray:
-    """Learned convex 8× upsample.
+def upsample_convex(
+    disp: jnp.ndarray, mask: jnp.ndarray, factor: int
+) -> jnp.ndarray:
+    """Learned convex ``factor``× upsample.
 
-    disp: [B, H, W, 1] coarse disparity (1/8 resolution, in coarse-pixel
-    units — multiplied by 8 internally, upsample.py:29).
-    mask: [B, H, W, 9*64] logits, laid out as (k, dy, dx) per coarse pixel
-    matching the reference's ``view(N,1,9,8,8,H,W)`` (upsample.py:25).
-    Returns [B, 8H, 8W, 1].
+    disp: [B, H, W, 1] coarse disparity (in coarse-pixel units —
+    multiplied by ``factor`` internally, upsample.py:29).
+    mask: [B, H, W, 9·factor²] logits laid out (k, dy, dx) per coarse
+    pixel, matching the reference's ``view(N,1,9,f,f,H,W)``
+    (upsample.py:25; RAFT's factor-4 variant raft_stereo.py:110-122).
+    Returns [B, fH, fW, 1].
     """
     B, H, W, _ = disp.shape
-    m = mask.reshape(B, H, W, 9, 8, 8)
+    f = factor
+    m = mask.reshape(B, H, W, 9, f, f)
     m = jax.nn.softmax(m, axis=3)
-    nbr = neighborhood9(8.0 * disp)[..., 0]            # [B,H,W,9]
-    up = jnp.einsum("bhwkyx,bhwk->bhwyx", m, nbr)      # [B,H,W,8,8]
-    up = jnp.transpose(up, (0, 1, 3, 2, 4))            # [B,H,8,W,8]
-    return up.reshape(B, 8 * H, 8 * W, 1)
+    nbr = neighborhood9(float(f) * disp)[..., 0]       # [B,H,W,9]
+    up = jnp.einsum("bhwkyx,bhwk->bhwyx", m, nbr)      # [B,H,W,f,f]
+    up = jnp.transpose(up, (0, 1, 3, 2, 4))            # [B,H,f,W,f]
+    return up.reshape(B, f * H, f * W, 1)
+
+
+def upsample_convex8(disp: jnp.ndarray, mask: jnp.ndarray) -> jnp.ndarray:
+    """Learned convex 8× upsample (upsample.py:22-38)."""
+    return upsample_convex(disp, mask, 8)
 
 
 def upsample_simple8(disp: jnp.ndarray) -> jnp.ndarray:

@@ -1,0 +1,22 @@
+"""Training layer: jitted SPMD steps, trainer orchestration, schedules,
+checkpoints."""
+
+from .checkpoint import latest_checkpoint, restore_checkpoint, save_checkpoint
+from .schedule import make_step_schedule, reference_lr
+from .state import TrainState
+from .steps import compute_loss, make_eval_step, make_infer_fn, make_train_step
+from .trainer import DisparityTrainer
+
+__all__ = [
+    "latest_checkpoint",
+    "restore_checkpoint",
+    "save_checkpoint",
+    "make_step_schedule",
+    "reference_lr",
+    "TrainState",
+    "compute_loss",
+    "make_eval_step",
+    "make_infer_fn",
+    "make_train_step",
+    "DisparityTrainer",
+]

@@ -1,0 +1,80 @@
+"""Checkpoint save / restore with best-metric tracking.
+
+Reference behaviour (train_low.py:19-22, 68-74 + utils/utils.py:43-113):
+save every epoch named ``{net}_{round}_{epoch}_{EPE:.3f}`` plus a
+``model_best`` copy; resume-latest by scob of saved names.  Here the full
+TrainState (params + optimizer moments + step) is saved — the reference's
+active path saved model-only and silently restarted Adam moments
+(SURVEY §5), which this fixes.
+
+Uses orbax's PyTreeCheckpointer (the TPU-standard checkpoint layer).
+"""
+
+from __future__ import annotations
+
+import glob
+import json
+import os
+import re
+import shutil
+from typing import Any, Optional
+
+from .state import TrainState
+
+
+def _checkpointer():
+    import orbax.checkpoint as ocp
+
+    return ocp.PyTreeCheckpointer()
+
+
+def save_checkpoint(
+    ckpt_dir: str,
+    state: TrainState,
+    net_name: str,
+    round_idx: int,
+    epoch: int,
+    val_epe: float,
+    is_best: bool,
+) -> str:
+    """Save ``{net}_{round}_{epoch}_{epe:.3f}`` (+ ``model_best`` copy)."""
+    os.makedirs(ckpt_dir, exist_ok=True)
+    name = f"{net_name}_{round_idx}_{epoch}_{val_epe:.3f}"
+    path = os.path.abspath(os.path.join(ckpt_dir, name))
+    cp = _checkpointer()
+    if os.path.exists(path):
+        shutil.rmtree(path)
+    cp.save(path, state)
+    meta = {
+        "round": round_idx, "epoch": epoch, "arch": net_name,
+        "best_EPE": val_epe, "step": int(state.step),
+    }
+    with open(os.path.join(path, "meta.json"), "w") as f:
+        json.dump(meta, f)
+    if is_best:
+        best = os.path.join(ckpt_dir, "model_best")
+        if os.path.exists(best):
+            shutil.rmtree(best)
+        shutil.copytree(path, best)
+    return path
+
+
+def restore_checkpoint(path: str, target: TrainState) -> TrainState:
+    """Restore into the shape/dtype structure of ``target``."""
+    cp = _checkpointer()
+    return cp.restore(os.path.abspath(path), item=target)
+
+
+def latest_checkpoint(ckpt_dir: str, net_name: str) -> Optional[str]:
+    """Resume-latest glob (utils/utils.py:103-113 semantics): highest
+    (round, epoch) among saved checkpoints."""
+    pat = os.path.join(ckpt_dir, f"{net_name}_*_*_*")
+    best: tuple[int, int] = (-1, -1)
+    best_path = None
+    for p in glob.glob(pat):
+        m = re.match(rf"{re.escape(net_name)}_(\d+)_(\d+)_", os.path.basename(p))
+        if m:
+            key = (int(m.group(1)), int(m.group(2)))
+            if key > best:
+                best, best_path = key, p
+    return best_path

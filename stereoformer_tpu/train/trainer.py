@@ -1,0 +1,267 @@
+"""DisparityTrainer — the training orchestration layer.
+
+API-parity with the reference trainers (train_file/trainer_DLC_GRU.py:28-297,
+trainer_LC.py, train_DLC.py — all three collapse into one class here, the
+variant being a (model, loss) pair): ``DisparityTrainer(lr, dataset,
+trainlist, vallist, datapath, batch_size, maxdisp, pretrain, model,
+test_batch).initialize()`` then ``train_one_epoch`` / ``validate``.
+
+TPU-native differences:
+- one jitted train step (forward+loss+grad+Adam+BN updates in one XLA
+  program) instead of eager per-op dispatch;
+- SPMD data parallelism over a device mesh instead of DataParallel;
+- optax amsgrad-Adam with the reference's exact per-epoch LR schedule
+  compiled in as a step schedule;
+- deterministic, PRNG-explicit augmentation; per-epoch loader reseeding.
+"""
+
+from __future__ import annotations
+
+import time
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from .. import parallel
+from ..data import (
+    DataLoader,
+    DummyStereoDataset,
+    StereoDataset,
+    train_transform,
+    val_transform,
+)
+from ..models import get_model
+from ..utils import AverageMeter, get_logger
+from .checkpoint import restore_checkpoint
+from .schedule import make_step_schedule
+from .state import TrainState
+from .steps import make_eval_step, make_train_step
+
+logger = get_logger()
+
+# default loss per model family (which reference trainer used it)
+_DEFAULT_LOSS = {
+    "LowCNN_gru": "sequence",            # trainer_DLC_GRU.py:21
+    "LowCNN_gru2": "sequence",
+    "LowCNN_dynamic_supervised": "range_supervised",  # train_DLC.py:24
+    "LowCNN_dynamic": "equal",
+    "LowCNN_ada": "equal",               # trainer_LC.py (multiequalloss)
+    "LowCNN": "single",
+    "LowCNN_simple": "single",
+}
+
+
+class DisparityTrainer:
+    def __init__(
+        self,
+        lr: float,
+        dataset: str = "SceneFlow",
+        trainlist: str = "",
+        vallist: str = "",
+        datapath: str = "",
+        batch_size: int = 4,
+        maxdisp: int = 192,
+        pretrain: Optional[str] = None,
+        model: str = "LowCNN_gru",
+        test_batch: int = 4,
+        loss: Optional[str] = None,
+        train_iters: int = 12,
+        eval_iters: int = 12,
+        crop_size: tuple[int, int] = (320, 640),
+        num_workers: Optional[int] = None,
+        seed: int = 1024,
+        mesh=None,
+        remat: bool = False,
+        color_aug: bool = False,
+    ):
+        self.lr = lr
+        self.dataset = dataset
+        self.trainlist, self.vallist = trainlist, vallist
+        self.datapath = datapath
+        self.batch_size, self.test_batch = batch_size, test_batch
+        self.maxdisp = maxdisp
+        self.pretrain = pretrain
+        self.model_name = model
+        self.loss_name = loss or _DEFAULT_LOSS.get(model, "sequence")
+        self.train_iters, self.eval_iters = train_iters, eval_iters
+        self.crop_size = crop_size
+        self.num_workers = num_workers
+        self.seed = seed
+        self.mesh = mesh
+        self.remat = remat
+        self.color_aug = color_aug
+        self.current_lr = lr
+        self.is_pretrain = False
+
+    # -- setup ---------------------------------------------------------------
+
+    def _prepare_dataset(self):
+        if self.dataset == "dummy":
+            self.train_set = DummyStereoDataset(
+                length=max(self.batch_size * 4, 8),
+                height=self.crop_size[0], width=self.crop_size[1],
+                mode="train",
+            )
+            self.val_set = DummyStereoDataset(
+                length=max(self.test_batch * 2, 4),
+                height=self.crop_size[0], width=self.crop_size[1],
+                mode="val", seed=1,
+            )
+        else:
+            self.train_set = StereoDataset(
+                self.datapath, self.trainlist, self.vallist,
+                dataset_name=self.dataset, mode="train",
+            )
+            self.val_set = StereoDataset(
+                self.datapath, self.trainlist, self.vallist,
+                dataset_name=self.dataset, mode="val",
+            )
+        crop = self.crop_size
+        color = self.color_aug
+        self.train_loader = DataLoader(
+            self.train_set, self.batch_size, shuffle=True,
+            num_workers=self.num_workers, seed=self.seed,
+            transform_with_rng=lambda s, rng: train_transform(
+                s, rng, crop=crop, color=color
+            ),
+        )
+        self.val_loader = DataLoader(
+            self.val_set, self.test_batch, shuffle=False,
+            num_workers=self.num_workers, drop_last=False, seed=self.seed,
+            transform_with_rng=lambda s, rng: val_transform(s),
+        )
+        self.steps_per_epoch = max(len(self.train_loader), 1)
+
+    def _build_net(self):
+        self.net = get_model(self.model_name, max_disp=self.maxdisp)
+        h, w = self.crop_size
+        dummy = jnp.zeros((1, h, w, 3), jnp.float32)
+        # jit the init: eager init dispatches op-by-op (minutes through a
+        # remote-TPU tunnel); compiled it is seconds.
+        variables = jax.jit(
+            lambda key, l, r: self.net.init(key, l, r, iters=1, train=False)
+        )(jax.random.PRNGKey(self.seed), dummy, dummy)
+        self.params = variables["params"]
+        self.batch_stats = variables.get("batch_stats", {})
+        n = sum(p.size for p in jax.tree_util.tree_leaves(self.params))
+        logger.info("Number of model parameters: %d", n)
+
+    def _build_optimizer(self):
+        schedule = make_step_schedule(self.lr, self.steps_per_epoch)
+        self.tx = optax.amsgrad(schedule, b1=0.9, b2=0.999)
+        # jitted: eager optimizer init is hundreds of tiny dispatches
+        self.state = jax.jit(
+            lambda p, bs: TrainState(
+                step=jnp.asarray(0, jnp.int32),
+                params=p,
+                batch_stats=bs,
+                opt_state=self.tx.init(p),
+            )
+        )(self.params, self.batch_stats)
+        if self.mesh is not None:
+            self.state = jax.tree_util.tree_map(
+                lambda x: jax.device_put(x, parallel.replicated(self.mesh)),
+                self.state,
+            )
+
+    def initialize(self):
+        self._prepare_dataset()
+        self._build_net()
+        self._build_optimizer()
+        self.train_step = make_train_step(
+            self.net, self.tx, self.loss_name, iters=self.train_iters,
+            remat=self.remat,
+        )
+        self.eval_step = make_eval_step(self.net, iters=self.eval_iters)
+        if self.pretrain and self.pretrain != "none":
+            try:
+                self.state = restore_checkpoint(self.pretrain, self.state)
+                self.is_pretrain = True
+                logger.info("Loaded pretrain checkpoint: %s", self.pretrain)
+            except Exception as e:
+                logger.warning(
+                    "Cannot load %s (%s); starting fresh", self.pretrain, e
+                )
+
+    # -- epoch loops ---------------------------------------------------------
+
+    def adjust_learning_rate(self, epoch: int) -> float:
+        """The LR is compiled into the step schedule; this mirrors the
+        reference API and reports the current value
+        (trainer_DLC_GRU.py:136-146)."""
+        from .schedule import reference_lr
+
+        self.current_lr = float(reference_lr(self.lr, epoch))
+        return self.current_lr
+
+    def _device_batch(self, batch: dict) -> dict:
+        arrays = {k: v for k, v in batch.items() if isinstance(v, np.ndarray)}
+        if self.mesh is not None:
+            n = self.mesh.devices.size
+            bs = arrays["img_left"].shape[0]
+            if bs % n:
+                arrays = parallel.pad_batch_to(arrays, ((bs + n - 1) // n) * n)
+            return parallel.shard_batch(arrays, self.mesh)
+        return {k: jnp.asarray(v) for k, v in arrays.items()}
+
+    def train_one_epoch(self, epoch: int, round_idx: int, iterations: int,
+                        summary_writer=None):
+        self.adjust_learning_rate(epoch)
+        self.train_loader.set_epoch(epoch)
+        batch_time, data_time = AverageMeter(), AverageMeter()
+        losses_m, epes_m = AverageMeter(), AverageMeter()
+        end = time.perf_counter()
+        for i_batch, batch in enumerate(self.train_loader):
+            data_time.update(time.perf_counter() - end)
+            batch = self._device_batch(batch)
+            self.state, metrics = self.train_step(self.state, batch)
+            loss = float(metrics["loss"])
+            epe = float(metrics["epe"])
+            n = batch["img_left"].shape[0]
+            losses_m.update(loss, n)
+            epes_m.update(epe, n)
+            if summary_writer is not None:
+                summary_writer.add_scalar("total_loss", loss, iterations)
+                summary_writer.add_scalar("epe", epe, iterations)
+                summary_writer.add_scalar(
+                    "Learning_Rate", self.current_lr, iterations
+                )
+            batch_time.update(time.perf_counter() - end)
+            end = time.perf_counter()
+            iterations += 1
+            if i_batch % 10 == 0:
+                logger.info(
+                    "Epoch [%d][%d/%d] time %.3f (%.3f) data %.3f loss %.3f (%.3f) EPE %.3f (%.3f)",
+                    epoch, i_batch, len(self.train_loader),
+                    batch_time.val, batch_time.avg, data_time.avg,
+                    losses_m.val, losses_m.avg, epes_m.val, epes_m.avg,
+                )
+        return losses_m.avg, epes_m.avg, iterations
+
+    def validate(self, summary_writer=None, epoch: int = 0):
+        epes_m, p1_m, inf_t = AverageMeter(), AverageMeter(), AverageMeter()
+        for batch in self.val_loader:
+            batch = self._device_batch(batch)
+            t0 = time.perf_counter()
+            metrics = jax.block_until_ready(self.eval_step(self.state, batch))
+            dt = time.perf_counter() - t0
+            n = batch["img_left"].shape[0]
+            epe, p1 = float(metrics["epe"]), float(metrics["p1"])
+            if np.isfinite(epe):
+                epes_m.update(epe, n)
+            if np.isfinite(p1):
+                p1_m.update(p1, n)
+            inf_t.update(dt / n, n)
+        if summary_writer is not None:
+            summary_writer.add_scalar("epe_on_val", epes_m.avg, epoch)
+        logger.info(
+            "Validate epoch %d: EPE %.4f P1 %.4f inference %.4fs/img",
+            epoch, epes_m.avg, p1_m.avg, inf_t.avg,
+        )
+        return epes_m.avg
+
+    def get_model(self):
+        return self.state

@@ -1,0 +1,147 @@
+"""Training layer: LR-schedule parity, overfit-on-dummy (loss decreases),
+checkpoint round-trip, SPMD mesh train step on the virtual 8-device mesh."""
+
+import numpy as np
+import pytest
+import jax
+import jax.numpy as jnp
+import optax
+
+from stereoformer_tpu import parallel
+from stereoformer_tpu.data import DummyStereoDataset, DataLoader, train_transform
+from stereoformer_tpu.models import LowCNN
+from stereoformer_tpu.train import (
+    TrainState,
+    make_eval_step,
+    make_step_schedule,
+    make_train_step,
+    reference_lr,
+    restore_checkpoint,
+    save_checkpoint,
+)
+
+
+def test_reference_lr_schedule():
+    """Parity with trainer_DLC_GRU.py:136-146."""
+    lr = 1e-3
+    for epoch, want in [
+        (0, lr), (10, lr), (19, lr),
+        (20, lr / 2), (29, lr / 2),
+        (30, lr / 4), (39, lr / 4),
+        (40, lr / 6), (50, lr / 8),
+    ]:
+        got = float(reference_lr(lr, epoch))
+        np.testing.assert_allclose(got, want, rtol=1e-6, err_msg=str(epoch))
+
+
+def _tiny_setup(refinement="fixed", loss_name="single", iters=2, B=2, H=32, W=64):
+    model = LowCNN(refinement=refinement)
+    left = jnp.zeros((B, H, W, 3))
+    variables = model.init(jax.random.PRNGKey(0), left, left, iters=iters, train=False)
+    tx = optax.amsgrad(1e-3)
+    state = TrainState(
+        step=jnp.asarray(0, jnp.int32),
+        params=variables["params"],
+        batch_stats=variables["batch_stats"],
+        opt_state=tx.init(variables["params"]),
+    )
+    step = make_train_step(model, tx, loss_name, iters=iters)
+    return model, state, step
+
+
+def _dummy_batch(B=2, H=32, W=64, seed=0):
+    ds = DummyStereoDataset(length=B, height=H, width=W, max_disp=12, seed=seed)
+    rng = np.random.default_rng(0)
+    samples = [
+        train_transform(ds[i], rng, crop=(H, W)) for i in range(B)
+    ]
+    return {
+        "img_left": jnp.asarray(np.stack([s["img_left"] for s in samples])),
+        "img_right": jnp.asarray(np.stack([s["img_right"] for s in samples])),
+        "gt_disp": jnp.asarray(
+            np.stack([s["gt_disp"] for s in samples])[..., None]
+        ),
+    }
+
+
+def test_train_step_decreases_loss():
+    _, state, step = _tiny_setup()
+    batch = _dummy_batch()
+    losses = []
+    for _ in range(8):
+        state, m = step(state, batch)
+        losses.append(float(m["loss"]))
+    assert all(np.isfinite(losses))
+    assert losses[-1] < losses[0], losses
+    assert int(state.step) == 8
+
+
+def test_train_step_gru_sequence_loss():
+    _, state, step = _tiny_setup(refinement="gru", loss_name="sequence", iters=2)
+    batch = _dummy_batch()
+    state, m = step(state, batch)
+    assert np.isfinite(float(m["loss"]))
+    assert float(m["grad_norm"]) > 0
+
+
+def test_eval_step_scale_disp():
+    model, state, _ = _tiny_setup()
+    es = make_eval_step(model, iters=2)
+    # eval at a different resolution than gt: pred must be rescaled
+    batch = _dummy_batch(B=1, H=32, W=64)
+    batch["gt_disp"] = jnp.asarray(
+        np.random.RandomState(0).rand(1, 30, 60, 1).astype(np.float32) * 10
+    )
+    m = es(state, batch)
+    assert np.isfinite(float(m["epe"]))
+    assert 0 <= float(m["p1"]) <= 1
+
+
+def test_checkpoint_roundtrip(tmp_path):
+    _, state, step = _tiny_setup()
+    batch = _dummy_batch()
+    state, _ = step(state, batch)
+    p = save_checkpoint(str(tmp_path), state, "LowCNN", 0, 3, 1.234, True)
+    # mutate, then restore into the same structure
+    zero_state = jax.tree_util.tree_map(jnp.zeros_like, state)
+    back = restore_checkpoint(p, zero_state)
+    for a, b in zip(
+        jax.tree_util.tree_leaves(state), jax.tree_util.tree_leaves(back)
+    ):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-6)
+    import os
+
+    assert os.path.isdir(os.path.join(str(tmp_path), "model_best"))
+
+
+def test_spmd_mesh_train_step():
+    """Batch sharded over the virtual 8-device mesh; params replicated;
+    the jitted step must produce the same loss as single-device."""
+    assert len(jax.devices()) == 8
+    mesh = parallel.make_mesh()
+    model, state, step = _tiny_setup(B=8)
+    batch = _dummy_batch(B=8)
+    # the step donates its state; keep an independent copy for the mesh run
+    sharded_state = jax.tree_util.tree_map(
+        lambda x: jax.device_put(jnp.copy(x), parallel.replicated(mesh)), state
+    )
+    # single-device result
+    state1, m1 = step(state, batch)
+
+    sharded_batch = parallel.shard_batch(
+        {k: np.asarray(v) for k, v in batch.items()}, mesh
+    )
+    state2, m2 = step(sharded_state, sharded_batch)
+    np.testing.assert_allclose(
+        float(m1["loss"]), float(m2["loss"]), rtol=1e-4
+    )
+    # params stay replicated and finite
+    leaf = jax.tree_util.tree_leaves(state2.params)[0]
+    assert bool(jnp.isfinite(leaf).all())
+
+
+def test_step_schedule():
+    sched = make_step_schedule(1e-3, steps_per_epoch=10)
+    np.testing.assert_allclose(float(sched(0)), 1e-3, rtol=1e-6)
+    np.testing.assert_allclose(float(sched(199)), 1e-3, rtol=1e-6)  # epoch 19
+    np.testing.assert_allclose(float(sched(200)), 5e-4, rtol=1e-6)  # epoch 20
