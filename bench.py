@@ -42,17 +42,22 @@ def main():
 
     @jax.jit
     def infer(v, l, r):
-        return model.apply(v, l, r, iters=iters, train=False)["disparities"][-1]
+        # reduce to a scalar so the sync transfers 4 bytes, not the map
+        return jnp.sum(
+            model.apply(v, l, r, iters=iters, train=False)["disparities"][-1]
+        )
 
-    # compile + warmup
-    jax.block_until_ready(infer(variables, left, right))
-    jax.block_until_ready(infer(variables, left, right))
+    # compile + warmup (float() forces a real host sync; block_until_ready
+    # does not round-trip through every PJRT transport)
+    float(infer(variables, left, right))
+    float(infer(variables, left, right))
 
-    reps = 10
+    # pipelined steady-state: dispatch all reps, sync once — the device
+    # queue serialises execution, so total/reps is true per-batch time
+    reps = 20
     t0 = time.perf_counter()
-    for _ in range(reps):
-        out = infer(variables, left, right)
-    jax.block_until_ready(out)
+    outs = [infer(variables, left, right) for _ in range(reps)]
+    float(outs[-1])
     dt = time.perf_counter() - t0
     pairs_per_sec = reps * batch / dt
 

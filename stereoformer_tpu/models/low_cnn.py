@@ -48,13 +48,17 @@ class ConvAffinityUpsample(nn.Module):
     (models/utils/upsample.py:6-19)."""
 
     hidden: int = 128
+    dtype: object = None
 
     @nn.compact
     def __call__(self, feature):
         x = nn.relu(
-            nn.Conv(self.hidden, (3, 3), padding=1, kernel_init=he_normal())(feature)
+            nn.Conv(self.hidden, (3, 3), padding=1, kernel_init=he_normal(),
+                    dtype=self.dtype)(feature)
         )
-        return 0.25 * nn.Conv(8 * 8 * 9, (1, 1), kernel_init=he_normal())(x)
+        return 0.25 * nn.Conv(
+            8 * 8 * 9, (1, 1), kernel_init=he_normal(), dtype=self.dtype
+        )(x).astype(jnp.float32)
 
 
 class LowCNN(nn.Module):
@@ -66,6 +70,7 @@ class LowCNN(nn.Module):
     gru_hidden: int = 32
     radius: float = 2.0
     gamma: float = 1.0
+    dtype: object = None             # compute dtype; jnp.bfloat16 for MXU speed
 
     @nn.compact
     def __call__(
@@ -85,18 +90,19 @@ class LowCNN(nn.Module):
                          loss (learned_supervised only).
         """
         D = self.max_disp // 8
+        dt = self.dtype
 
         # --- siamese backbone (shared weights) ---
-        conv1 = ConvLReLU(64, kernel_size=7, stride=2)
-        conv2 = ResBlock(128, stride=2)
-        conv3 = ResBlock(256, stride=2)
-        down1 = ResBlock(256, stride=1)
-        down2 = ResBlock(512, stride=2)
-        down3 = ResBlock(512, stride=2)
-        fusion = FPNFusion(channels=(512, 512, 256))
+        conv1 = ConvLReLU(64, kernel_size=7, stride=2, dtype=dt)
+        conv2 = ResBlock(128, stride=2, dtype=dt)
+        conv3 = ResBlock(256, stride=2, dtype=dt)
+        down1 = ResBlock(256, stride=1, dtype=dt)
+        down2 = ResBlock(512, stride=2, dtype=dt)
+        down3 = ResBlock(512, stride=2, dtype=dt)
+        fusion = FPNFusion(channels=(512, 512, 256), dtype=dt)
 
         def extract(img):
-            x = conv1(img, train=train)
+            x = conv1(img if dt is None else img.astype(dt), train=train)
             x = conv2(x, train=train)
             x = conv3(x, train=train)
             f8 = down1(x, train=train)
@@ -110,7 +116,9 @@ class LowCNN(nn.Module):
         # --- 1/8 cost volume + aggregation + soft-argmin ---
         volume = ops.correlation_volume(feat_l, feat_r, D)
         for i in range(3):
-            volume = ResBlock(D, name=f"agg{i}")(volume, train=train)
+            volume = ResBlock(D, dtype=dt, name=f"agg{i}")(volume, train=train)
+        # probability/refinement math is precision-sensitive: back to f32
+        volume = volume.astype(jnp.float32)
         disp_low = ops.soft_argmin(volume)[..., None]     # [B, H/8, W/8, 1]
 
         def up(disp, mask):
@@ -126,6 +134,7 @@ class LowCNN(nn.Module):
                 num_samples=self.num_samples,
                 with_mask=True,
                 feature_dim=64 if self.refinement == "gru_feature" else 0,
+                dtype=dt,
             )
             disp, hidden = disp_low, None
             preds = []
@@ -141,7 +150,8 @@ class LowCNN(nn.Module):
 
         # non-GRU variants share one affinity mask from the left feature
         mask = (
-            ConvAffinityUpsample()(feat_l) if self.upsample == "convex" else None
+            ConvAffinityUpsample(dtype=dt)(feat_l)
+            if self.upsample == "convex" else None
         )
         if self.refinement == "none":
             out["disparities"] = [up(disp_low, mask)]

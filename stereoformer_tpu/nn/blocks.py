@@ -36,6 +36,7 @@ class ConvLReLU(nn.Module):
     kernel_size: int = 3
     stride: int = 1
     use_bn: bool = False
+    dtype: object = None  # compute dtype (bf16 for mixed precision)
 
     @nn.compact
     def __call__(self, x, train: bool = True):
@@ -46,6 +47,7 @@ class ConvLReLU(nn.Module):
             padding=(self.kernel_size - 1) // 2,
             use_bias=not self.use_bn,
             kernel_init=he_normal(),
+            dtype=self.dtype,
         )(x)
         if self.use_bn:
             x = nn.BatchNorm(use_running_average=not train, momentum=0.9)(x)
@@ -58,6 +60,7 @@ class ConvBnRelu(nn.Module):
     features: int
     kernel_size: int = 3
     stride: int = 1
+    dtype: object = None
 
     @nn.compact
     def __call__(self, x, train: bool = True):
@@ -68,8 +71,9 @@ class ConvBnRelu(nn.Module):
             padding=self.kernel_size // 2,
             use_bias=False,
             kernel_init=he_normal(),
+            dtype=self.dtype,
         )(x)
-        x = nn.BatchNorm(use_running_average=not train, momentum=0.9)(x)
+        x = nn.BatchNorm(use_running_average=not train, momentum=0.9, dtype=self.dtype)(x)
         return nn.relu(x)
 
 
@@ -80,27 +84,25 @@ class ResBlock(nn.Module):
     features: int
     kernel_size: int = 3
     stride: int = 1
+    dtype: object = None
 
     @nn.compact
     def __call__(self, x, train: bool = True):
-        norm = lambda: nn.BatchNorm(use_running_average=not train, momentum=0.9)
+        norm = lambda: nn.BatchNorm(
+            use_running_average=not train, momentum=0.9, dtype=self.dtype
+        )
+        conv = lambda f, k, s, name=None: nn.Conv(
+            f, (k, k), strides=s, padding=(k - 1) // 2 if k > 1 else 0,
+            kernel_init=he_normal(), dtype=self.dtype, name=name,
+        )
         residual = x
         if self.stride != 1 or x.shape[-1] != self.features:
-            residual = nn.Conv(
-                self.features, (1, 1), strides=self.stride,
-                kernel_init=he_normal(), name="shortcut_conv",
-            )(x)
+            residual = conv(self.features, 1, self.stride, "shortcut_conv")(x)
             residual = norm()(residual)
-        out = nn.Conv(
-            self.features,
-            (self.kernel_size, self.kernel_size),
-            strides=self.stride,
-            padding=1,
-            kernel_init=he_normal(),
-        )(x)
+        out = conv(self.features, self.kernel_size, self.stride)(x)
         out = norm()(out)
         out = nn.relu(out)
-        out = nn.Conv(self.features, (3, 3), padding=1, kernel_init=he_normal())(out)
+        out = conv(self.features, 3, 1)(out)
         out = norm()(out)
         return nn.relu(out + residual)
 
@@ -118,6 +120,7 @@ class DeformConv(nn.Module):
     stride: int = 1
     padding: int = 1
     dilation: int = 1
+    dtype: object = None
 
     @nn.compact
     def __call__(self, x):
@@ -125,7 +128,8 @@ class DeformConv(nn.Module):
         K = k * k
         C = x.shape[-1]
         # offset/mask conv is zero-initialised so the op starts as a plain
-        # conv with 0.5 modulation (ModulatedDeformConvPack.init_offset)
+        # conv with 0.5 modulation (ModulatedDeformConvPack.init_offset);
+        # offsets stay f32 (sub-pixel coordinates are precision-sensitive)
         om = nn.Conv(
             3 * K,
             (k, k),
@@ -134,15 +138,15 @@ class DeformConv(nn.Module):
             kernel_init=nn.initializers.zeros,
             bias_init=nn.initializers.zeros,
             name="offset_mask",
-        )(x)
+        )(x.astype(jnp.float32))
         offsets = om[..., : 2 * K].reshape(*om.shape[:-1], K, 2)
         mask = nn.sigmoid(om[..., 2 * K :])
         weight = self.param(
             "weight", he_normal(), (K * C, self.features), jnp.float32
         )
         bias = self.param("bias", nn.initializers.zeros, (self.features,), jnp.float32)
-        return modulated_deform_conv(
-            x,
+        out = modulated_deform_conv(
+            x.astype(jnp.float32),
             offsets,
             mask,
             weight,
@@ -152,6 +156,7 @@ class DeformConv(nn.Module):
             padding=self.padding,
             dilation=self.dilation,
         )
+        return out if self.dtype is None else out.astype(self.dtype)
 
 
 class DeformBlock(nn.Module):
@@ -161,15 +166,18 @@ class DeformBlock(nn.Module):
     features: int
     kernel_size: int = 3
     stride: int = 1
+    dtype: object = None
 
     @nn.compact
     def __call__(self, x, train: bool = True):
-        norm = lambda: nn.BatchNorm(use_running_average=not train, momentum=0.9)
+        norm = lambda: nn.BatchNorm(
+            use_running_average=not train, momentum=0.9, dtype=self.dtype
+        )
         residual = x
         if self.stride != 1 or x.shape[-1] != self.features:
             residual = nn.Conv(
                 self.features, (1, 1), strides=self.stride,
-                kernel_init=he_normal(), name="shortcut_conv",
+                kernel_init=he_normal(), dtype=self.dtype, name="shortcut_conv",
             )(x)
             residual = norm()(residual)
         out = nn.Conv(
@@ -178,10 +186,11 @@ class DeformBlock(nn.Module):
             strides=self.stride,
             padding=1,
             kernel_init=he_normal(),
+            dtype=self.dtype,
         )(x)
         out = norm()(out)
         out = nn.relu(out)
-        out = DeformConv(self.features)(out)
+        out = DeformConv(self.features, dtype=self.dtype)(out)
         out = norm()(out)
         return nn.relu(out + residual)
 
@@ -192,6 +201,7 @@ class FPNFusion(nn.Module):
     skip → conv-BN-ReLU, returning the finest-level fused map."""
 
     channels: Sequence[int]  # coarse-to-fine, e.g. (512, 512, 256)
+    dtype: object = None
 
     @nn.compact
     def __call__(self, features: Sequence[jnp.ndarray], train: bool = True):
@@ -200,6 +210,6 @@ class FPNFusion(nn.Module):
             skip = features[i + 1]
             H, W = skip.shape[1:3]
             out = resize_bilinear(out, (H, W), align_corners=True)
-            out = jnp.concatenate([out, skip], axis=-1)
-            out = ConvBnRelu(self.channels[i + 1])(out, train=train)
+            out = jnp.concatenate([out, skip.astype(out.dtype)], axis=-1)
+            out = ConvBnRelu(self.channels[i + 1], dtype=self.dtype)(out, train=train)
         return out

@@ -26,6 +26,7 @@ class ConvGRU(nn.Module):
 
     hidden_dim: int
     softsign: bool = False
+    dtype: object = None
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, h: Optional[jnp.ndarray]) -> jnp.ndarray:
@@ -34,7 +35,7 @@ class ConvGRU(nn.Module):
         conv = lambda name: nn.Conv(
             self.hidden_dim, (3, 3), padding=1,
             kernel_init=orthogonal(), bias_init=nn.initializers.zeros,
-            name=name,
+            dtype=self.dtype, name=name,
         )
         xh = jnp.concatenate([x, h], axis=-1)
         z = nn.sigmoid(conv("conv_z")(xh))

@@ -48,9 +48,11 @@ def _images_at(disp: jnp.ndarray, left: jnp.ndarray, right: jnp.ndarray):
 
 class GuidanceEncoder(nn.Module):
     """Error-map + uncertainty-volume encoder → 2·hidden channels
-    (update.py:52-92)."""
+    (update.py:52-92).  The warp / probability statistics stay f32;
+    the encoder convs run in ``dtype``."""
 
     hidden: int = 32
+    dtype: object = None
 
     @nn.compact
     def __call__(self, volume, cur_disp, left, right, train: bool = True):
@@ -63,10 +65,11 @@ class GuidanceEncoder(nn.Module):
         def enc(x, name):
             x = nn.Conv(
                 self.hidden, (3, 3), padding=1, use_bias=False,
-                kernel_init=he_normal(), name=name,
+                kernel_init=he_normal(), dtype=self.dtype, name=name,
             )(x)
             x = nn.BatchNorm(
-                use_running_average=not train, momentum=0.9, name=name + "_bn"
+                use_running_average=not train, momentum=0.9, dtype=self.dtype,
+                name=name + "_bn",
             )(x)
             return nn.relu(x)
 
@@ -80,11 +83,15 @@ class OffsetHead(nn.Module):
     (update.py:96-105)."""
 
     hidden: int = 64
+    dtype: object = None
 
     @nn.compact
     def __call__(self, x):
-        x = nn.relu(nn.Conv(self.hidden, (3, 3), padding=1, kernel_init=he_normal())(x))
-        return nn.relu(nn.Conv(2, (3, 3), padding=1, kernel_init=he_normal())(x))
+        x = nn.relu(nn.Conv(self.hidden, (3, 3), padding=1,
+                            kernel_init=he_normal(), dtype=self.dtype)(x))
+        out = nn.relu(nn.Conv(2, (3, 3), padding=1,
+                              kernel_init=he_normal(), dtype=self.dtype)(x))
+        return out.astype(jnp.float32)  # bounds are coordinates: keep f32
 
 
 class GRUUpdate(nn.Module):
@@ -101,6 +108,7 @@ class GRUUpdate(nn.Module):
     num_samples: int = 20
     with_mask: bool = True
     feature_dim: int = 0
+    dtype: object = None
 
     @nn.compact
     def __call__(
@@ -115,33 +123,36 @@ class GRUUpdate(nn.Module):
         consider_valid: bool = True,
     ):
         D = volume.shape[-1]
-        feats = GuidanceEncoder(hidden=self.hidden)(
+        feats = GuidanceEncoder(hidden=self.hidden, dtype=self.dtype)(
             volume, cur_disp, left, right, train=train
         )
         gru_dim = 2 * self.hidden + self.feature_dim
         if self.feature_dim:
             lf = nn.Conv(
                 self.feature_dim, (3, 3), padding=1, use_bias=False,
-                kernel_init=he_normal(), name="feature_encode",
+                kernel_init=he_normal(), dtype=self.dtype, name="feature_encode",
             )(left_feature)
             lf = nn.BatchNorm(
-                use_running_average=not train, momentum=0.9,
+                use_running_average=not train, momentum=0.9, dtype=self.dtype,
                 name="feature_encode_bn",
             )(lf)
             feats = jnp.concatenate([feats, nn.relu(lf)], axis=-1)
-        hidden_state = ConvGRU(hidden_dim=gru_dim)(feats, hidden_state)
+        hidden_state = ConvGRU(hidden_dim=gru_dim, dtype=self.dtype)(
+            feats, hidden_state
+        )
 
         mask = None
         if self.with_mask:
             m = nn.relu(
                 nn.Conv(256, (3, 3), padding=1, kernel_init=he_normal(),
-                        name="mask_conv1")(hidden_state)
+                        dtype=self.dtype, name="mask_conv1")(hidden_state)
             )
             mask = 0.25 * nn.Conv(
-                64 * 9, (1, 1), kernel_init=he_normal(), name="mask_conv2"
-            )(m)
+                64 * 9, (1, 1), kernel_init=he_normal(), dtype=self.dtype,
+                name="mask_conv2",
+            )(m).astype(jnp.float32)
 
-        bounds = OffsetHead()(hidden_state)
+        bounds = OffsetHead(dtype=self.dtype)(hidden_state)
         lower = cur_disp - bounds[..., 0:1]
         upper = cur_disp + bounds[..., 1:2]
         cands = make_candidates(

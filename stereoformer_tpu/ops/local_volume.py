@@ -28,11 +28,10 @@ import jax
 import jax.numpy as jnp
 
 
-def resample_volume(
+def resample_volume_gather(
     volume: jnp.ndarray, candidates: jnp.ndarray
 ) -> jnp.ndarray:
-    """Linearly interpolate ``volume`` [B,H,W,D] at continuous disparity
-    ``candidates`` [B,H,W,S] -> [B,H,W,S].
+    """Gather-based reference implementation.
 
     out = v[floor]·(clip(ceil(s)) − s) + v[ceil]·(1 − clip(ceil(s)) + s)
     with both indices clipped to [0, D−1] — bit-matching
@@ -50,6 +49,51 @@ def resample_volume(
     v_floor = jnp.take_along_axis(volume, floor_i, axis=-1)
     v_ceil = jnp.take_along_axis(volume, ceil_i, axis=-1)
     return v_floor * floor_rate + v_ceil * ceil_rate
+
+
+def resample_volume_hat(
+    volume: jnp.ndarray, candidates: jnp.ndarray
+) -> jnp.ndarray:
+    """Hat-function (gather-free) formulation — the TPU-preferred path.
+
+    The clamped gather-lerp is algebraically
+
+        out_s = Σ_d v_d · max(0, 1 − |clip(c_s, 0, D−1) − d|)
+
+    (the clip reproduces the reference's boundary behaviour for every
+    out-of-range case, including the surviving −1/+1 gradient structure:
+    d out/d c = v_ceil − v_floor inside [0, D−1], 0 outside).  This turns
+    both the forward and the backward into dense elementwise + reduction
+    work — no gathers forward, no scatter-adds backward — which is the
+    shape the TPU VPU/MXU wants.
+    """
+    D = volume.shape[-1]
+    c = jnp.clip(candidates, 0, D - 1)                 # [B,H,W,S]
+    d = jnp.arange(D, dtype=volume.dtype)              # [D]
+    delta = c[..., None] - d                           # [B,H,W,S,D]
+    # subgradient choices matter at integer candidates: jnp.abs'(0)=1 and
+    # jnp.maximum ties split 0.5/0.5, but max(Δ,−Δ) ties cancel to 0 and
+    # jax.nn.relu'(0)=0 — together they reproduce the reference's exact
+    # zero gradient at integer candidates (v_ceil − v_floor with equal
+    # indices).
+    w = jax.nn.relu(1.0 - jnp.maximum(delta, -delta))
+    return jnp.einsum("bhwsd,bhwd->bhws", w, volume)
+
+
+def resample_volume(
+    volume: jnp.ndarray, candidates: jnp.ndarray, method: str = "hat"
+) -> jnp.ndarray:
+    """Linearly interpolate ``volume`` [B,H,W,D] at continuous disparity
+    ``candidates`` [B,H,W,S] -> [B,H,W,S].
+
+    Reference semantics: ``build_cost_volume_from_volume``
+    (update.py:326-345).  ``method``: "hat" (dense, TPU-fast) or "gather"
+    (the literal translation); both are exactly equivalent in value and
+    gradient (tested against the torch reference).
+    """
+    if method == "hat":
+        return resample_volume_hat(volume, candidates)
+    return resample_volume_gather(volume, candidates)
 
 
 def make_candidates(

@@ -57,7 +57,8 @@ def data():
     return vol, cands
 
 
-def test_resample_value_and_grads_match_torch(data):
+@pytest.mark.parametrize("method", ["gather", "hat"])
+def test_resample_value_and_grads_match_torch(data, method):
     pytest.importorskip("torch")
     vol, cands = data
     want, want_dvol, want_dc = torch_reference_resample(vol, cands)
@@ -66,9 +67,9 @@ def test_resample_value_and_grads_match_torch(data):
     cands_j = jnp.asarray(cands.transpose(0, 2, 3, 1))    # B,H,W,S
 
     def f(v, c):
-        return jnp.sum(ops.resample_volume(v, c))
+        return jnp.sum(ops.resample_volume(v, c, method=method))
 
-    out = ops.resample_volume(vol_j, cands_j)
+    out = ops.resample_volume(vol_j, cands_j, method=method)
     np.testing.assert_allclose(
         np.asarray(out).transpose(0, 3, 1, 2), want, atol=1e-5
     )
@@ -79,6 +80,33 @@ def test_resample_value_and_grads_match_torch(data):
     np.testing.assert_allclose(
         np.asarray(dc).transpose(0, 3, 1, 2), want_dc, atol=1e-5
     )
+
+
+def test_hat_equals_gather_on_edge_cases():
+    rng = np.random.RandomState(11)
+    vol = jnp.asarray(rng.randn(2, 3, 4, 24).astype(np.float32))
+    # exact ints, far out of range both sides, boundary-straddling
+    cands = jnp.asarray(
+        np.stack(
+            [
+                rng.uniform(-30, 60, (2, 3, 4)),
+                np.full((2, 3, 4), 23.0),
+                np.full((2, 3, 4), 0.0),
+                np.full((2, 3, 4), -0.5),
+                np.full((2, 3, 4), 23.5),
+                rng.uniform(0, 23, (2, 3, 4)),
+            ],
+            axis=-1,
+        ).astype(np.float32)
+    )
+    a = ops.resample_volume(vol, cands, method="gather")
+    b = ops.resample_volume(vol, cands, method="hat")
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5)
+
+    ga = jax.grad(lambda v, c: jnp.sum(jnp.sin(ops.resample_volume(v, c, method="gather"))), argnums=(0, 1))(vol, cands)
+    gb = jax.grad(lambda v, c: jnp.sum(jnp.sin(ops.resample_volume(v, c, method="hat"))), argnums=(0, 1))(vol, cands)
+    for x, y in zip(ga, gb):
+        np.testing.assert_allclose(np.asarray(x), np.asarray(y), atol=1e-4)
 
 
 def test_resample_exact_integers_identity():
