@@ -86,3 +86,13 @@ def _raft(**kw):
     from .raft_stereo import RAFTStereo
 
     return RAFTStereo(**kw)
+
+
+# -- Cross-attention family (the capability models/CrossAttentionCostVolume
+#    declares; its cross_attention_cost_volume.py is empty upstream) --
+
+@register("CrossAttentionStereo")
+def _cross_attention(**kw):
+    from .cross_attention import CrossAttentionStereo
+
+    return CrossAttentionStereo(**kw)

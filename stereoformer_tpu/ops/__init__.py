@@ -28,6 +28,7 @@ from .local_volume import (
 from .upsample import neighborhood9, upsample_convex, upsample_convex8, upsample_simple8
 from .resize import resize_bilinear, scale_disp
 from .warp import disp_warp, lr_warp_error
+from .attention import banded_attention, banded_attention_scores
 from .corr1d import allpairs_corr1d, corr_lookup, corr_pyramid
 from .deform import bilinear_sample_2d, deform_columns, modulated_deform_conv
 
@@ -55,6 +56,8 @@ __all__ = [
     "scale_disp",
     "disp_warp",
     "lr_warp_error",
+    "banded_attention",
+    "banded_attention_scores",
     "allpairs_corr1d",
     "corr_lookup",
     "corr_pyramid",
