@@ -66,10 +66,16 @@ def _read_kitti_disp(filename: str) -> np.ndarray:
 
 
 def read_disp(filename: str, subset: bool = False) -> np.ndarray:
-    """Disparity map [H, W] float32 (file_io.py:17-31)."""
+    """Disparity map [H, W] float32 (file_io.py:17-31).  PFM decode uses
+    the native library (native/libstereoformer_io.so) when built."""
     suffix = Path(filename).suffix.lower()
     if suffix == ".pfm":
-        disp = np.ascontiguousarray(read_pfm(filename)[0])
+        from . import native
+
+        if native.available():
+            disp = native.read_pfm(filename)
+        else:
+            disp = np.ascontiguousarray(read_pfm(filename)[0])
         if subset:
             disp = -disp
     elif suffix == ".png":

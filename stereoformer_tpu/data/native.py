@@ -1,0 +1,110 @@
+"""ctypes bindings for the native host-side IO library
+(``native/libstereoformer_io.so``; build with ``make -C native``).
+
+Falls back to the pure-numpy implementations in ``file_io`` /
+``transforms`` when the library is absent — every function here is a
+drop-in accelerated equivalent (parity-tested in tests/test_native.py).
+"""
+
+from __future__ import annotations
+
+import ctypes
+import os
+from typing import Optional
+
+import numpy as np
+
+_LIB_PATH = os.path.join(
+    os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))),
+    "native",
+    "libstereoformer_io.so",
+)
+
+_lib: Optional[ctypes.CDLL] = None
+
+
+def load_library() -> Optional[ctypes.CDLL]:
+    global _lib
+    if _lib is not None:
+        return _lib
+    if not os.path.exists(_LIB_PATH):
+        return None
+    lib = ctypes.CDLL(_LIB_PATH)
+    f32p = np.ctypeslib.ndpointer(np.float32, flags="C_CONTIGUOUS")
+    i32p = np.ctypeslib.ndpointer(np.int32, flags="C_CONTIGUOUS")
+    lib.sf_pfm_dims.argtypes = [ctypes.c_char_p, i32p]
+    lib.sf_pfm_dims.restype = ctypes.c_int
+    lib.sf_read_pfm.argtypes = [ctypes.c_char_p, f32p, ctypes.c_int64]
+    lib.sf_read_pfm.restype = ctypes.c_int
+    lib.sf_crop_normalize.argtypes = [
+        f32p, ctypes.c_int32, ctypes.c_int32, ctypes.c_int32,
+        ctypes.c_int32, ctypes.c_int32, ctypes.c_int32, ctypes.c_int32,
+        ctypes.c_float, f32p, f32p, f32p,
+    ]
+    lib.sf_crop_normalize.restype = ctypes.c_int
+    lib.sf_read_pfm_batch.argtypes = [
+        ctypes.c_char_p, ctypes.c_int32, f32p, ctypes.c_int64, i32p,
+        ctypes.c_int32,
+    ]
+    lib.sf_read_pfm_batch.restype = ctypes.c_int
+    _lib = lib
+    return lib
+
+
+def available() -> bool:
+    return load_library() is not None
+
+
+def read_pfm(path: str) -> np.ndarray:
+    """Native PFM decode (top-down layout). Raises on error; callers that
+    want the fallback use ``read_pfm_auto``."""
+    lib = load_library()
+    if lib is None:
+        raise RuntimeError("native IO library not built (make -C native)")
+    dims = np.zeros(3, np.int32)
+    rc = lib.sf_pfm_dims(path.encode(), dims)
+    if rc:
+        raise IOError(f"sf_pfm_dims({path}) -> {rc}")
+    h, w, c = (int(x) for x in dims)
+    out = np.empty(h * w * c, np.float32)
+    rc = lib.sf_read_pfm(path.encode(), out, out.size)
+    if rc:
+        raise IOError(f"sf_read_pfm({path}) -> {rc}")
+    return out.reshape((h, w, 3) if c == 3 else (h, w))
+
+
+def read_pfm_auto(path: str) -> np.ndarray:
+    """Native decode when built, numpy fallback otherwise."""
+    if available():
+        return read_pfm(path)
+    from .file_io import read_pfm as np_read_pfm
+
+    return np_read_pfm(path)[0]
+
+
+def crop_normalize(
+    img: np.ndarray,
+    oy: int,
+    ox: int,
+    ch: int,
+    cw: int,
+    mean: np.ndarray,
+    std: np.ndarray,
+    pre_scale: float = 1.0 / 255.0,
+) -> np.ndarray:
+    """Fused crop + scale + normalize; numpy fallback when not built."""
+    mean = np.ascontiguousarray(mean, np.float32)
+    std = np.ascontiguousarray(std, np.float32)
+    lib = load_library()
+    img = np.ascontiguousarray(img, np.float32)
+    H, W, C = img.shape
+    if lib is None:
+        crop = img[oy : oy + ch, ox : ox + cw]
+        return ((crop * pre_scale) - mean) / std
+    out = np.empty((ch, cw, C), np.float32)
+    rc = lib.sf_crop_normalize(
+        img, H, W, C, oy, ox, ch, cw, pre_scale, mean, std, out
+    )
+    if rc:
+        raise ValueError(f"sf_crop_normalize -> {rc}")
+    return out

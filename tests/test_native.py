@@ -1,0 +1,68 @@
+"""Native IO library vs numpy reference (skipped when not built)."""
+
+import numpy as np
+import pytest
+
+from stereoformer_tpu.data import file_io, native, transforms
+
+pytestmark = pytest.mark.skipif(
+    not native.available(), reason="native library not built"
+)
+
+
+def test_native_pfm_matches_numpy(tmp_path):
+    rng = np.random.RandomState(0)
+    disp = rng.rand(37, 53).astype(np.float32) * 100
+    p = str(tmp_path / "d.pfm")
+    file_io.write_pfm(p, disp)
+    want = file_io.read_pfm(p)[0]
+    got = native.read_pfm(p)
+    np.testing.assert_array_equal(got, want)
+
+
+def test_native_pfm_color(tmp_path):
+    rng = np.random.RandomState(1)
+    img = rng.rand(10, 12, 3).astype(np.float32)
+    p = str(tmp_path / "c.pfm")
+    file_io.write_pfm(p, img)
+    np.testing.assert_array_equal(native.read_pfm(p), file_io.read_pfm(p)[0])
+
+
+def test_native_pfm_bigendian(tmp_path):
+    """Big-endian PFM (positive scale) must byteswap correctly."""
+    disp = np.arange(12, dtype=np.float32).reshape(3, 4)
+    p = str(tmp_path / "be.pfm")
+    with open(p, "wb") as f:
+        f.write(b"Pf\n4 3\n1.0\n")
+        np.flipud(disp).astype(">f4").tofile(f)
+    np.testing.assert_array_equal(native.read_pfm(p), disp)
+
+
+def test_crop_normalize_matches_numpy():
+    rng = np.random.RandomState(2)
+    img = (rng.rand(40, 60, 3) * 255).astype(np.float32)
+    mean, std = transforms.IMAGENET_MEAN, transforms.IMAGENET_STD
+    got = native.crop_normalize(img, 3, 5, 16, 32, mean, std)
+    want = ((img[3:19, 5:37] / 255.0) - mean) / std
+    np.testing.assert_allclose(got, want, atol=1e-6)
+
+
+def test_batch_decode(tmp_path):
+    lib = native.load_library()
+    rng = np.random.RandomState(3)
+    paths, wants = [], []
+    H, W = 8, 10
+    for i in range(5):
+        p = str(tmp_path / f"{i}.pfm")
+        d = rng.rand(H, W).astype(np.float32)
+        file_io.write_pfm(p, d)
+        paths.append(p)
+        wants.append(d)
+    blob = b"".join(p.encode() + b"\0" for p in paths)
+    cap = H * W
+    out = np.empty((5, cap), np.float32)
+    results = np.zeros(5, np.int32)
+    rc = lib.sf_read_pfm_batch(blob, 5, out, cap, results, 3)
+    assert rc == 0 and (results == 0).all()
+    for i, w in enumerate(wants):
+        np.testing.assert_array_equal(out[i].reshape(H, W), w)
