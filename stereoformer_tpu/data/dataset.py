@@ -40,8 +40,24 @@ _DATASET_LISTS = {
         "test": "KITTI_2015_test.txt",
     },
     "KITTI_mix": {
-        "train": "KITTI_mix.txt",
+        "train": "KITTI_mix_train.txt",
+        "val": "KITTI_mix_val.txt",
         "test": "KITTI_2015_test.txt",
+    },
+    "ETH3D": {
+        "train": "ETH3D.list",
+        "val": "ETH3D_val.list",
+        "test": "ETH3D_test.list",
+    },
+    "ETH3D_mix": {
+        "train": "ETH3D_mix.list",
+        "val": "ETH3D_mix_val.list",
+        "test": "ETH3D_test.list",
+    },
+    "Middlebury": {
+        "train": "Middleburry.list",   # upstream spelling
+        "val": "Middleburry_val.list",
+        "test": "Middleburry_test.list",
     },
 }
 

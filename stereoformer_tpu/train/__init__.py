@@ -2,12 +2,22 @@
 checkpoints."""
 
 from .checkpoint import latest_checkpoint, restore_checkpoint, save_checkpoint
+from .params import (
+    count_parameters,
+    freeze_offsets,
+    masked_optimizer,
+    only_offsets,
+)
 from .schedule import make_step_schedule, reference_lr
 from .state import TrainState
 from .steps import compute_loss, make_eval_step, make_infer_fn, make_train_step
 from .trainer import DisparityTrainer
 
 __all__ = [
+    "count_parameters",
+    "freeze_offsets",
+    "masked_optimizer",
+    "only_offsets",
     "latest_checkpoint",
     "restore_checkpoint",
     "save_checkpoint",

@@ -1,7 +1,7 @@
 """Shared utilities: logging, meters, visualisation."""
 
 from .common import AverageMeter, get_logger, load_loss_scheme
-from .viz import disp_error_image, kitti_colormap
+from .viz import disp_error_image, kitti_colormap, tensorboard_disparity_images
 
 __all__ = [
     "AverageMeter",
@@ -9,4 +9,5 @@ __all__ = [
     "load_loss_scheme",
     "disp_error_image",
     "kitti_colormap",
+    "tensorboard_disparity_images",
 ]

@@ -44,3 +44,27 @@ def disp_error_image(
         m = (score >= lo) & (score < hi) & valid
         out[m] = (r, g, b)
     return out
+
+
+def tensorboard_disparity_images(
+    writer, tag: str, left_img: np.ndarray, pred: np.ndarray,
+    gt: np.ndarray, step: int,
+) -> None:
+    """Log an input/prediction/GT/error-map panel to TensorBoard
+    (reference utils/devtools.py:59-74 image grids).
+
+    left_img: [H, W, 3] float (normalised or 0..1); pred/gt: [H, W].
+    No-op when the writer is None.
+    """
+    if writer is None:
+        return
+    img = left_img - left_img.min()
+    img = img / max(float(img.max()), 1e-6)
+    vmax = max(float(gt.max()), 1e-6)
+    pred_v = np.clip(pred / vmax, 0, 1)
+    gt_v = np.clip(gt / vmax, 0, 1)
+    err = disp_error_image(pred, gt).astype(np.float32) / 255.0
+    writer.add_image(f"{tag}/left", img, step, dataformats="HWC")
+    writer.add_image(f"{tag}/pred", pred_v[None], step, dataformats="CHW")
+    writer.add_image(f"{tag}/gt", gt_v[None], step, dataformats="CHW")
+    writer.add_image(f"{tag}/error", err, step, dataformats="HWC")

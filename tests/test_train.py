@@ -145,3 +145,33 @@ def test_step_schedule():
     np.testing.assert_allclose(float(sched(0)), 1e-3, rtol=1e-6)
     np.testing.assert_allclose(float(sched(199)), 1e-3, rtol=1e-6)  # epoch 19
     np.testing.assert_allclose(float(sched(200)), 5e-4, rtol=1e-6)  # epoch 20
+
+
+def test_param_freeze_utils():
+    from stereoformer_tpu.train import (
+        count_parameters,
+        freeze_offsets,
+        masked_optimizer,
+    )
+    from stereoformer_tpu.models import LowCNN
+
+    model = LowCNN(refinement="learned")  # has DeformConv -> offset_mask
+    left = jnp.zeros((1, 32, 64, 3))
+    variables = model.init(jax.random.PRNGKey(0), left, left, train=False)
+    params = variables["params"]
+    n = count_parameters(params)
+    assert n > 1e6
+
+    tx = freeze_offsets(optax.sgd(1.0), params)
+    opt_state = tx.init(params)
+    grads = jax.tree_util.tree_map(jnp.ones_like, params)
+    updates, _ = tx.update(grads, opt_state, params)
+    flat = jax.flatten_util.ravel_pytree
+    from flax import traverse_util
+
+    fu = traverse_util.flatten_dict(updates)
+    frozen = [k for k in fu if "offset_mask" in "/".join(map(str, k))]
+    trained = [k for k in fu if "offset_mask" not in "/".join(map(str, k))]
+    assert frozen and trained
+    assert all(float(jnp.abs(fu[k]).sum()) == 0 for k in frozen)
+    assert all(float(jnp.abs(fu[k]).sum()) > 0 for k in trained)
