@@ -106,6 +106,8 @@ def main(argv=None):
         model=opt.net,
         test_batch=opt.test_batch,
         loss=opt.loss_name,
+        loss_weights=(loss_weights[opt.startRound]
+                      if loss_weights else None),
         train_iters=opt.train_iters,
         eval_iters=opt.eval_iters,
         crop_size=(opt.crop_h, opt.crop_w),

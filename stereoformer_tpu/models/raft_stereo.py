@@ -112,7 +112,16 @@ class RAFTStereo(nn.Module):
             flow_up = ops.upsample_convex(
                 (coords1 - coords0)[..., None], mask, factor
             )
-            preds.append(flow_up)
+            # matching geometry: the right-image match sits at w − d, so the
+            # epipolar flow converges to −disparity; negate so outputs are
+            # positive disparities like the rest of the zoo (the reference
+            # returns raw flow and was never trained in-repo,
+            # raft_stereo.py:190-199)
+            preds.append(-flow_up)
 
-        out = {"disparities": preds, "flow_low": (coords1 - coords0)[..., None]}
+        out = {
+            "disparities": preds,
+            "flow_low": (coords1 - coords0)[..., None],
+            "disp_low": -(coords1 - coords0)[..., None],
+        }
         return out

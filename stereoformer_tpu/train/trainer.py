@@ -68,6 +68,7 @@ class DisparityTrainer:
         model: str = "LowCNN_gru",
         test_batch: int = 4,
         loss: Optional[str] = None,
+        loss_weights=None,
         train_iters: int = 12,
         eval_iters: int = 12,
         crop_size: tuple[int, int] = (320, 640),
@@ -86,6 +87,7 @@ class DisparityTrainer:
         self.pretrain = pretrain
         self.model_name = model
         self.loss_name = loss or _DEFAULT_LOSS.get(model, "sequence")
+        self.loss_weights = tuple(loss_weights) if loss_weights else (0.8, 1.2)
         self.train_iters, self.eval_iters = train_iters, eval_iters
         self.crop_size = crop_size
         self.num_workers = num_workers
@@ -173,7 +175,7 @@ class DisparityTrainer:
         self._build_optimizer()
         self.train_step = make_train_step(
             self.net, self.tx, self.loss_name, iters=self.train_iters,
-            remat=self.remat,
+            weights=self.loss_weights, remat=self.remat,
         )
         self.eval_step = make_eval_step(self.net, iters=self.eval_iters)
         if self.pretrain and self.pretrain != "none":
