@@ -64,6 +64,13 @@ def main(argv=None):
     os.makedirs(opt.outf, exist_ok=True)
     os.makedirs(opt.save_logdir, exist_ok=True)
 
+    # live diagnosis: `kill -USR1 <pid>` dumps all thread stacks to stderr
+    # without stopping training
+    import faulthandler
+    import signal
+
+    faulthandler.register(signal.SIGUSR1, all_threads=True)
+
     import jax
 
     from ..parallel import make_mesh

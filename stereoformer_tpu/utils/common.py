@@ -15,6 +15,7 @@ from typing import Optional
 def get_logger(logfile: Optional[str] = None, name: str = "stereoformer_tpu"):
     logger = logging.getLogger(name)
     logger.setLevel(logging.INFO)
+    logger.propagate = False  # avoid duplicate lines via the root logger
     if not logger.handlers:
         fmt = logging.Formatter(
             "%(asctime)s [%(levelname)s] %(message)s", "%Y-%m-%d %H:%M:%S"
