@@ -56,6 +56,12 @@ def build_parser() -> argparse.ArgumentParser:
                    help="disable the device mesh (single-device debug)")
     p.add_argument("--epochs", type=int, default=None,
                    help="override epochs per round")
+    p.add_argument("--resume", action="store_true",
+                   help="resume from the latest checkpoint in --outf "
+                        "(utils/utils.py:103-113 resume_latest semantics, "
+                        "wired in unlike the reference)")
+    p.add_argument("--profile_dir", type=str, default=None,
+                   help="write a jax.profiler device trace of epoch 0 here")
     return p
 
 
@@ -74,7 +80,7 @@ def main(argv=None):
     import jax
 
     from ..parallel import make_mesh
-    from ..train import DisparityTrainer, save_checkpoint
+    from ..train import DisparityTrainer, latest_checkpoint, save_checkpoint
     from ..utils import get_logger, load_loss_scheme
 
     logger = get_logger(os.path.join(opt.outf, "train.log"))
@@ -91,6 +97,20 @@ def main(argv=None):
         train_round, epochs, loss_weights = 1, [opt.epochs or 70], None
     if opt.epochs is not None:
         epochs = [opt.epochs] * train_round
+
+    if opt.resume:
+        latest = latest_checkpoint(opt.outf, opt.net)
+        if latest:
+            opt.pretrain = latest
+            try:
+                with open(os.path.join(latest, "meta.json")) as f:
+                    import json as _json
+
+                    meta = _json.load(f)
+                opt.startRound = meta.get("round", opt.startRound)
+                opt.startEpoch = meta.get("epoch", opt.startEpoch) + 1
+            except Exception:
+                pass
 
     devices = jax.devices()
     if opt.devices not in ("all", ""):
@@ -145,9 +165,15 @@ def main(argv=None):
         logger.info("round %d (%d epochs)%s", r, end_epoch,
                     f" weights {loss_weights[r]}" if loss_weights else "")
         for i in range(start_epoch, end_epoch):
-            avg_loss, avg_epe, iterations = trainer.train_one_epoch(
-                i, r, iterations, writer
-            )
+            if opt.profile_dir and i == start_epoch and r == opt.startRound:
+                with jax.profiler.trace(opt.profile_dir):
+                    avg_loss, avg_epe, iterations = trainer.train_one_epoch(
+                        i, r, iterations, writer
+                    )
+            else:
+                avg_loss, avg_epe, iterations = trainer.train_one_epoch(
+                    i, r, iterations, writer
+                )
             val_epe = trainer.validate(writer, i)
             is_best = best_epe < 0 or val_epe < best_epe
             if is_best:

@@ -8,7 +8,9 @@ from .blocks import (
     FPNFusion,
     ResBlock,
 )
+from .aggregation import ConvBn3D, Hourglass3D, cost_volume_pyramid
 from .gru import ConvGRU, SepConvGRU
+from .residual import ResSubmoduleAttention, SAModule
 from .update import (
     GRUUpdate,
     GuidanceEncoder,
@@ -24,6 +26,11 @@ __all__ = [
     "DeformConv",
     "FPNFusion",
     "ResBlock",
+    "ConvBn3D",
+    "Hourglass3D",
+    "cost_volume_pyramid",
+    "ResSubmoduleAttention",
+    "SAModule",
     "ConvGRU",
     "SepConvGRU",
     "GRUUpdate",

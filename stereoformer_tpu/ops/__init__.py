@@ -31,6 +31,7 @@ from .warp import disp_warp, lr_warp_error
 from .attention import banded_attention, banded_attention_scores
 from .corr1d import allpairs_corr1d, corr_lookup, corr_pyramid
 from .deform import bilinear_sample_2d, deform_columns, modulated_deform_conv
+from .pad import InputPadder, forward_interpolate, gauss_blur
 
 __all__ = [
     "concat_volume",
@@ -61,6 +62,9 @@ __all__ = [
     "allpairs_corr1d",
     "corr_lookup",
     "corr_pyramid",
+    "InputPadder",
+    "forward_interpolate",
+    "gauss_blur",
     "bilinear_sample_2d",
     "deform_columns",
     "modulated_deform_conv",
