@@ -31,6 +31,7 @@ from .warp import disp_warp, lr_warp_error
 from .attention import banded_attention, banded_attention_scores
 from .corr1d import allpairs_corr1d, corr_lookup, corr_pyramid
 from .deform import bilinear_sample_2d, deform_columns, modulated_deform_conv
+from .deform_roi import deform_psroi_pool
 from .pad import InputPadder, forward_interpolate, gauss_blur
 
 __all__ = [
@@ -62,6 +63,7 @@ __all__ = [
     "allpairs_corr1d",
     "corr_lookup",
     "corr_pyramid",
+    "deform_psroi_pool",
     "InputPadder",
     "forward_interpolate",
     "gauss_blur",

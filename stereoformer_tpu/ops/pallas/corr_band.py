@@ -30,16 +30,19 @@ def _kernel(l_ref, r_ref, out_ref, *, max_disp: int):
         L, R, dimension_numbers=(((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32,
     ) / C                                              # [W, W] (w, v)
-    w_idx = jax.lax.broadcasted_iota(jnp.int32, (W, W), 0)
-    v_idx = jax.lax.broadcasted_iota(jnp.int32, (W, W), 1)
-    d_full = w_idx - v_idx                             # band index per element
-    # band[w, d] = sim[w, w-d]: accumulate the D diagonals via masked
-    # shifts of sim columns (D is small and static)
-    out = jnp.zeros((W, max_disp), jnp.float32)
-    for d in range(max_disp):
-        diag = jnp.sum(jnp.where(d_full == d, sim, 0.0), axis=1)  # [W]
-        out = out.at[:, d].set(jnp.where(jnp.arange(W) >= d, diag, 0.0))
-    out_ref[0] = out
+    # band[w, d] = sim[w, w−d] as a per-row masked matvec (no scatter —
+    # Mosaic has no scatter lowering): selector[w, v, d] = (w − v == d),
+    # band = batched (over w) [1,W] @ [W,D] — rides the MXU.
+    w3 = jax.lax.broadcasted_iota(jnp.int32, (W, W, max_disp), 0)
+    v3 = jax.lax.broadcasted_iota(jnp.int32, (W, W, max_disp), 1)
+    d3 = jax.lax.broadcasted_iota(jnp.int32, (W, W, max_disp), 2)
+    selector = (w3 - v3 == d3).astype(jnp.float32)     # [W, W, D]
+    band = jax.lax.dot_general(
+        sim[:, None, :], selector,
+        dimension_numbers=(((2,), (1,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32,
+    )[:, 0, :]                                         # [W, D]
+    out_ref[0] = band
 
 
 def _forward(left, right, max_disp: int, interpret: bool = False):

@@ -35,7 +35,8 @@ def _kernel(vol_ref, cand_ref, out_ref):
     cand = cand_ref[:]                                 # [R, S]
     D = vol.shape[-1]
     c = jnp.clip(cand, 0.0, D - 1.0)
-    d = jax.lax.broadcasted_iota(jnp.float32, (1, 1, D), 2)
+    # Mosaic iota must be integer-typed; cast after
+    d = jax.lax.broadcasted_iota(jnp.int32, (1, 1, D), 2).astype(jnp.float32)
     delta = c[:, :, None] - d                          # [R, S, D]
     w = jnp.maximum(1.0 - jnp.maximum(delta, -delta), 0.0)
     local = jax.lax.dot_general(

@@ -105,3 +105,41 @@ def test_deform_gradcheck_fd():
             fd = (plus - minus) / (2 * eps)
             an = float(np.asarray(grads[argnum]).ravel()[i])
             assert abs(fd - an) < 1e-2, (argnum, i, fd, an)
+
+
+def test_psroi_pool_uniform_feature():
+    """On a constant feature map every bin pools to the constant."""
+    feat = jnp.full((1, 16, 16, 4), 3.0)
+    rois = jnp.array([[0, 2, 2, 9, 9]], jnp.float32)
+    out = ops.deform_psroi_pool(feat, rois, None, pooled_size=4)
+    assert out.shape == (1, 4, 4, 4)
+    np.testing.assert_allclose(np.asarray(out), 3.0, atol=1e-5)
+
+
+def test_psroi_pool_gradient_and_offsets():
+    rng = np.random.RandomState(0)
+    feat = jnp.asarray(rng.rand(2, 16, 16, 3).astype(np.float32))
+    rois = jnp.array([[0, 1, 1, 10, 10], [1, 4, 4, 14, 12]], jnp.float32)
+    offs = jnp.asarray(rng.randn(2, 3, 3, 2).astype(np.float32) * 0.5)
+
+    def f(feat_, offs_):
+        return jnp.sum(
+            ops.deform_psroi_pool(feat_, rois, offs_, pooled_size=3) ** 2
+        )
+
+    g_feat, g_off = jax.grad(f, argnums=(0, 1))(feat, offs)
+    assert bool(jnp.isfinite(g_feat).all()) and float(jnp.abs(g_feat).sum()) > 0
+    assert bool(jnp.isfinite(g_off).all()) and float(jnp.abs(g_off).sum()) > 0
+    # offsets shift the pooled values
+    out0 = ops.deform_psroi_pool(feat, rois, jnp.zeros_like(offs), pooled_size=3)
+    out1 = ops.deform_psroi_pool(feat, rois, offs, pooled_size=3)
+    assert float(jnp.abs(out0 - out1).max()) > 1e-4
+
+
+def test_psroi_pool_vertical_gradient_feature():
+    """A feature that increases with y: lower bins pool larger values."""
+    y = np.arange(16, dtype=np.float32)[:, None, None]
+    feat = jnp.asarray(np.broadcast_to(y, (16, 16, 1))[None])
+    rois = jnp.array([[0, 0, 0, 15, 15]], jnp.float32)
+    out = np.asarray(ops.deform_psroi_pool(feat, rois, None, pooled_size=4))[0, :, :, 0]
+    assert (np.diff(out.mean(axis=1)) > 0).all()
