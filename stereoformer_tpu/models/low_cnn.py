@@ -114,7 +114,21 @@ class LowCNN(nn.Module):
         feat_r = extract(right)
 
         # --- 1/8 cost volume + aggregation + soft-argmin ---
-        volume = ops.correlation_volume(feat_l, feat_r, D)
+        if self.cost_volume == "correlation":
+            volume = ops.correlation_volume(feat_l, feat_r, D)
+        elif self.cost_volume in ("concat", "concated"):
+            # reference declares 'concated' (baseline_dynamic_gru.py:62-63)
+            # but its [B,2C,D,H,W] output cannot feed the 24-channel
+            # aggregation; here a learned per-bin similarity projection
+            # makes the mode functional: [B,H,W,D,2C] -> [B,H,W,D]
+            cvol = ops.concat_volume(feat_l, feat_r, D)
+            proj = nn.Dense(64, kernel_init=he_normal(), dtype=dt,
+                            name="concat_proj1")(cvol)
+            proj = nn.relu(proj)
+            volume = nn.Dense(1, kernel_init=he_normal(), dtype=dt,
+                              name="concat_proj2")(proj)[..., 0]
+        else:
+            raise ValueError(f"unknown cost_volume {self.cost_volume!r}")
         for i in range(3):
             volume = ResBlock(D, dtype=dt, name=f"agg{i}")(volume, train=train)
         # probability/refinement math is precision-sensitive: back to f32

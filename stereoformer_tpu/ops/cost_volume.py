@@ -75,14 +75,20 @@ def correlation_volume_shift(
 
 
 def correlation_volume(
-    left: jnp.ndarray, right: jnp.ndarray, max_disp: int
+    left: jnp.ndarray, right: jnp.ndarray, max_disp: int, impl: str = "auto"
 ) -> jnp.ndarray:
-    """Correlation cost volume [B, H, W, D]; picks the MXU banded-matmul
-    path when the band is a reasonable fraction of the square matrix."""
-    W = left.shape[2]
-    if max_disp * 3 >= W:
-        return correlation_volume_matmul(left, right, max_disp)
-    return correlation_volume_matmul(left, right, max_disp)  # matmul still wins on MXU
+    """Correlation cost volume [B, H, W, D].
+
+    ``impl``: "pallas" forces the fused band kernel (≈2× the isolated XLA
+    matmul+gather on v5e — it never writes the W×W similarity matrix to
+    HBM), but inside the jitted model XLA's fusion makes the paths equal,
+    so "auto" currently means XLA.
+    """
+    if impl == "pallas":
+        from .pallas.corr_band import corr_band
+
+        return corr_band(left, right, max_disp, False)
+    return correlation_volume_matmul(left, right, max_disp)
 
 
 def concat_volume(

@@ -104,3 +104,10 @@ def test_bf16_mixed_precision(images):
     assert bool(jnp.isfinite(d16).all())
     # same network, lower precision: outputs track within ~1px on random init
     assert float(jnp.abs(d32 - d16).mean()) < 1.5
+
+
+def test_concat_cost_volume_mode(images):
+    model = LowCNN(refinement="fixed", cost_volume="concat")
+    _, out = _run(model, images)
+    assert len(out["disparities"]) == 2
+    assert bool(jnp.isfinite(out["disparities"][-1]).all())
