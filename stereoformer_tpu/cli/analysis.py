@@ -40,10 +40,10 @@ def main(argv=None):
     import jax.numpy as jnp
     import optax
 
-    from .. import metrics, ops
+    from .. import losses, metrics, ops
     from ..data import read_disp, read_img, to_unit, normalize
     from ..models import get_model
-    from ..train import TrainState, restore_checkpoint
+    from ..train import TrainState, restore_params
 
     sample = {
         "img_left": read_img(opt.left),
@@ -66,7 +66,7 @@ def main(argv=None):
         batch_stats=variables.get("batch_stats", {}),
         opt_state=tx.init(variables["params"]),
     )
-    state = restore_checkpoint(opt.ckpt, state)
+    state = restore_params(opt.ckpt, state)
 
     out = model.apply(
         {"params": state.params, "batch_stats": state.batch_stats},
@@ -89,7 +89,7 @@ def main(argv=None):
         gt = read_disp(opt.disp)[None, :H8, :W8, None]
         gt_j = jnp.asarray(gt)
         print(f"  GT disparity:          {float(gt[0, y, x, 0]):.3f}")
-        print(f"  EPE {float(__import__('stereoformer_tpu').losses.epe(final, gt_j)):.4f}"
+        print(f"  EPE {float(losses.epe(final, gt_j)):.4f}"
               f"  D1 {float(metrics.d1_metric(final, gt_j)):.4f}"
               f"  P1 {float(metrics.p1_metric(final, gt_j)):.4f}")
         report["gt"] = gt[0, ..., 0]

@@ -44,7 +44,7 @@ def main(argv=None):
     )
     from ..models import get_model
     from ..ops import scale_disp
-    from ..train import TrainState, restore_checkpoint
+    from ..train import TrainState, restore_params
     from ..utils import AverageMeter, get_logger
 
     logger = get_logger()
@@ -77,7 +77,7 @@ def main(argv=None):
         opt_state=tx.init(variables["params"]),
     )
     if opt.ckpt:
-        state = restore_checkpoint(opt.ckpt, state)
+        state = restore_params(opt.ckpt, state)
         logger.info("restored %s", opt.ckpt)
 
     @jax.jit

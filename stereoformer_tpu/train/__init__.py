@@ -1,7 +1,12 @@
 """Training layer: jitted SPMD steps, trainer orchestration, schedules,
 checkpoints."""
 
-from .checkpoint import latest_checkpoint, restore_checkpoint, save_checkpoint
+from .checkpoint import (
+    latest_checkpoint,
+    restore_checkpoint,
+    restore_params,
+    save_checkpoint,
+)
 from .params import (
     count_parameters,
     freeze_offsets,
@@ -20,6 +25,7 @@ __all__ = [
     "only_offsets",
     "latest_checkpoint",
     "restore_checkpoint",
+    "restore_params",
     "save_checkpoint",
     "make_step_schedule",
     "reference_lr",

@@ -65,6 +65,21 @@ def restore_checkpoint(path: str, target: TrainState) -> TrainState:
     return cp.restore(os.path.abspath(path), item=target)
 
 
+def restore_params(path: str, target: TrainState) -> TrainState:
+    """Restore only step/params/batch_stats, keeping ``target``'s optimizer
+    state — for evaluation/analysis or when the optimizer configuration
+    changed between save and load (mirrors the reference's state_dict-only
+    loading, utils/utils.py:73-100)."""
+    cp = _checkpointer()
+    raw = cp.restore(os.path.abspath(path))
+    return TrainState(
+        step=raw["step"],
+        params=raw["params"],
+        batch_stats=raw["batch_stats"],
+        opt_state=target.opt_state,
+    )
+
+
 def latest_checkpoint(ckpt_dir: str, net_name: str) -> Optional[str]:
     """Resume-latest glob (utils/utils.py:103-113 semantics): highest
     (round, epoch) among saved checkpoints."""

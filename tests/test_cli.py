@@ -66,3 +66,37 @@ def test_cli_evaluate_dummy(capsys):
     ])
     assert result["images"] == 8
     assert np.isfinite(result["EPE"]) and 0 <= result["P1"] <= 1
+
+
+def test_cli_analysis_dummy(tmp_path):
+    """Analysis CLI end-to-end: save a checkpoint, probe a synthetic pair."""
+    from PIL import Image
+
+    from stereoformer_tpu.cli.analysis import main as analysis_main
+    from stereoformer_tpu.data import DummyStereoDataset, write_pfm
+
+    outf = str(tmp_path / "models")
+    main([
+        "--dataset", "dummy", "--net", "LowCNN_gru",
+        "--batch_size", "2", "--test_batch", "2",
+        "--crop_h", "32", "--crop_w", "64",
+        "--train_iters", "1", "--eval_iters", "1", "--epochs", "1",
+        "--outf", outf, "--save_logdir", str(tmp_path / "logs"),
+        "--workers", "0", "--no_mesh",
+    ])
+    ds = DummyStereoDataset(length=1, height=32, width=64, max_disp=12)
+    s = ds[0]
+    lp, rp, dp = (str(tmp_path / n) for n in ("l.png", "r.png", "d.pfm"))
+    Image.fromarray(s["img_left"].astype("uint8")).save(lp)
+    Image.fromarray(s["img_right"].astype("uint8")).save(rp)
+    write_pfm(dp, s["gt_disp"])
+    out_npz = str(tmp_path / "probe.npz")
+    analysis_main([
+        "--ckpt", os.path.join(outf, "model_best"),
+        "--net", "LowCNN_gru", "--left", lp, "--right", rp,
+        "--disp", dp, "--pixel", "10", "20", "--iters", "1",
+        "--out", out_npz,
+    ])
+    assert os.path.exists(out_npz)
+    data = np.load(out_npz)
+    assert "disp_final" in data and np.isfinite(data["disp_final"]).all()
