@@ -175,3 +175,41 @@ def test_param_freeze_utils():
     assert frozen and trained
     assert all(float(jnp.abs(fu[k]).sum()) == 0 for k in frozen)
     assert all(float(jnp.abs(fu[k]).sum()) > 0 for k in trained)
+
+
+def test_remat_train_step():
+    """remat=True (jax.checkpoint) produces the same loss/grads."""
+    model = LowCNN(refinement="gru")
+    left = jnp.zeros((1, 32, 64, 3))
+    variables = model.init(jax.random.PRNGKey(0), left, left, iters=2, train=False)
+    tx = optax.amsgrad(1e-3)
+
+    def mk(remat):
+        state = TrainState(
+            step=jnp.asarray(0, jnp.int32),
+            params=jax.tree_util.tree_map(jnp.copy, variables["params"]),
+            batch_stats=jax.tree_util.tree_map(jnp.copy, variables["batch_stats"]),
+            opt_state=tx.init(variables["params"]),
+        )
+        return state, make_train_step(model, tx, "sequence", iters=2, remat=remat)
+
+    batch = _dummy_batch(B=1)
+    s0, step0 = mk(False)
+    s1, step1 = mk(True)
+    _, m0 = step0(s0, batch)
+    _, m1 = step1(s1, batch)
+    np.testing.assert_allclose(float(m0["loss"]), float(m1["loss"]), rtol=1e-5)
+    np.testing.assert_allclose(
+        float(m0["grad_norm"]), float(m1["grad_norm"]), rtol=1e-4
+    )
+
+
+def test_determinism_same_seed():
+    """Same init seed + same batch → identical first-step loss."""
+    losses_seen = []
+    for _ in range(2):
+        _, state, step = _tiny_setup()
+        batch = _dummy_batch()
+        _, m = step(state, batch)
+        losses_seen.append(float(m["loss"]))
+    assert losses_seen[0] == losses_seen[1]
