@@ -40,7 +40,7 @@ def main(argv=None):
     import jax.numpy as jnp
     import optax
 
-    from .. import losses, metrics, ops
+    from .. import losses, metrics
     from ..data import read_disp, read_img, to_unit, normalize
     from ..models import get_model
     from ..train import TrainState, restore_params

@@ -26,7 +26,6 @@ from __future__ import annotations
 
 from typing import Optional, Sequence
 
-import jax
 import jax.numpy as jnp
 
 from ..ops import resize_bilinear

@@ -33,14 +33,12 @@ explicit integer (train default 12) so train and eval compute match.
 
 from __future__ import annotations
 
-from typing import Optional
-
 import jax.numpy as jnp
 import flax.linen as nn
 
 from .. import ops
 from ..nn.blocks import ConvLReLU, FPNFusion, ResBlock, he_normal
-from ..nn.update import GRUUpdate, LearnedBounds, _images_at
+from ..nn.update import GRUUpdate, LearnedBounds
 
 
 class ConvAffinityUpsample(nn.Module):

@@ -14,7 +14,6 @@ from __future__ import annotations
 
 from typing import Sequence
 
-import jax.numpy as jnp
 import flax.linen as nn
 
 he_out = lambda: nn.initializers.variance_scaling(2.0, "fan_out", "truncated_normal")

@@ -17,9 +17,6 @@ concat/difference volumes.
 
 from __future__ import annotations
 
-import functools
-
-import jax
 import jax.numpy as jnp
 
 

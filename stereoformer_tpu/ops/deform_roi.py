@@ -20,7 +20,6 @@ from __future__ import annotations
 
 from typing import Optional
 
-import jax
 import jax.numpy as jnp
 
 from .deform import bilinear_sample_2d

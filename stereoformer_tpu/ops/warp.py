@@ -15,7 +15,6 @@ difference; tests pin *our* semantics.
 
 from __future__ import annotations
 
-import jax
 import jax.numpy as jnp
 
 

@@ -24,7 +24,7 @@ from typing import Optional
 import numpy as np
 import jax
 
-from . import batch_sharding, make_mesh
+from . import batch_sharding
 
 
 def initialize_multihost(

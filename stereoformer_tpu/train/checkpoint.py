@@ -17,7 +17,7 @@ import json
 import os
 import re
 import shutil
-from typing import Any, Optional
+from typing import Optional
 
 from .state import TrainState
 
