@@ -105,11 +105,14 @@ class CrossAttentionStereo(nn.Module):
             hidden=self.gru_hidden, num_samples=self.num_samples,
             with_mask=True, dtype=dt,
         )
+        # hoist the per-iteration image downscale (see LowCNN)
+        left8 = ops.resize_bilinear(left, (H8, W8), align_corners=False)
+        right8 = ops.resize_bilinear(right, (H8, W8), align_corners=False)
         disp, hidden = disp_low, None
         preds = []
         for _ in range(iters):
             disp, hidden, mask = update(
-                volume, disp, left, right, hidden, train=train
+                volume, disp, left8, right8, hidden, train=train
             )
             if self.upsample == "convex":
                 preds.append(ops.upsample_convex8(disp, mask))

@@ -148,11 +148,17 @@ class LowCNN(nn.Module):
                 feature_dim=64 if self.refinement == "gru_feature" else 0,
                 dtype=dt,
             )
+            # the guidance encoder consumes the images at 1/8; downscale
+            # once instead of once per iteration (identical values — the
+            # reference recomputes this inside every update, update.py:73-80)
+            H8, W8 = disp_low.shape[1:3]
+            left8 = ops.resize_bilinear(left, (H8, W8), align_corners=False)
+            right8 = ops.resize_bilinear(right, (H8, W8), align_corners=False)
             disp, hidden = disp_low, None
             preds = []
             for _ in range(iters):
                 disp, hidden, mask = update(
-                    volume, disp, left, right, hidden,
+                    volume, disp, left8, right8, hidden,
                     left_feature=feat_l if self.refinement == "gru_feature" else None,
                     train=train,
                 )
