@@ -24,17 +24,23 @@ def _band_from_square(sim: jnp.ndarray, max_disp: int) -> jnp.ndarray:
     """Extract corr[..., w, d] = sim[..., w, w-d] (zero where w < d).
 
     sim: [..., W, W] similarity matrix, returns [..., W, D].
+
+    Implemented as a one-hot selector einsum, NOT a gather: profiling
+    showed the ``take_along_axis`` formulation lowers to a serialized
+    per-element gather on TPU costing 10 ms per forward at eval shapes
+    (27% of the model), while the batched [W,W]×[W·W,D] contraction rides
+    the MXU for ~0.2 GFLOP.  Out-of-band (w < d) entries are zero because
+    the selector has no hot element there.
     """
     W = sim.shape[-1]
-    w_idx = jnp.arange(W)[:, None]                    # [W, 1]
-    d_idx = jnp.arange(max_disp)[None, :]             # [1, D]
-    src = w_idx - d_idx                               # [W, D]
-    valid = src >= 0
-    src = jnp.clip(src, 0, W - 1)
-    band = jnp.take_along_axis(
-        sim, jnp.broadcast_to(src, sim.shape[:-2] + src.shape), axis=-1
-    )
-    return jnp.where(valid, band, 0.0)
+    w_idx = jnp.arange(W)[:, None, None]              # [W, 1, 1]
+    v_idx = jnp.arange(W)[None, :, None]              # [1, W, 1]
+    d_idx = jnp.arange(max_disp)[None, None, :]       # [1, 1, D]
+    selector = (w_idx - v_idx == d_idx).astype(sim.dtype)  # [W, W, D]
+    return jnp.einsum(
+        "...wv,wvd->...wd", sim, selector,
+        preferred_element_type=jnp.float32,
+    ).astype(sim.dtype)
 
 
 def correlation_volume_matmul(

@@ -210,38 +210,45 @@ class DisparityTrainer:
         return {k: jnp.asarray(v) for k, v in arrays.items()}
 
     def train_one_epoch(self, epoch: int, round_idx: int, iterations: int,
-                        summary_writer=None):
+                        summary_writer=None, log_every: int = 10):
+        """One epoch.  Metrics stay on-device and are synced only at log
+        points and once at epoch end (a host sync through a remote-TPU
+        transport costs ~32 ms — syncing every step would rival the step
+        itself; the reference's eager trainer pays this implicitly,
+        trainer_DLC_GRU.py:163-228)."""
         self.adjust_learning_rate(epoch)
         self.train_loader.set_epoch(epoch)
         batch_time, data_time = AverageMeter(), AverageMeter()
-        losses_m, epes_m = AverageMeter(), AverageMeter()
+        device_metrics: list = []       # [(loss, epe) device scalars]
+        start_iter = iterations
         end = time.perf_counter()
         for i_batch, batch in enumerate(self.train_loader):
             data_time.update(time.perf_counter() - end)
             batch = self._device_batch(batch)
             self.state, metrics = self.train_step(self.state, batch)
-            loss = float(metrics["loss"])
-            epe = float(metrics["epe"])
-            n = batch["img_left"].shape[0]
-            losses_m.update(loss, n)
-            epes_m.update(epe, n)
-            if summary_writer is not None:
-                summary_writer.add_scalar("total_loss", loss, iterations)
-                summary_writer.add_scalar("epe", epe, iterations)
-                summary_writer.add_scalar(
-                    "Learning_Rate", self.current_lr, iterations
-                )
+            device_metrics.append((metrics["loss"], metrics["epe"]))
             batch_time.update(time.perf_counter() - end)
             end = time.perf_counter()
             iterations += 1
-            if i_batch % 10 == 0:
+            if i_batch % log_every == 0:
+                loss, epe = (float(x) for x in device_metrics[-1])
                 logger.info(
-                    "Epoch [%d][%d/%d] time %.3f (%.3f) data %.3f loss %.3f (%.3f) EPE %.3f (%.3f)",
+                    "Epoch [%d][%d/%d] time %.3f (%.3f) data %.3f loss %.3f EPE %.3f",
                     epoch, i_batch, len(self.train_loader),
-                    batch_time.val, batch_time.avg, data_time.avg,
-                    losses_m.val, losses_m.avg, epes_m.val, epes_m.avg,
+                    batch_time.val, batch_time.avg, data_time.avg, loss, epe,
                 )
-        return losses_m.avg, epes_m.avg, iterations
+                end = time.perf_counter()  # don't bill the sync to data time
+        if not device_metrics:
+            return 0.0, 0.0, iterations
+        # one bulk transfer for the whole epoch
+        stacked = np.asarray(jnp.stack([jnp.stack(m) for m in device_metrics]))
+        losses_np, epes_np = stacked[:, 0], stacked[:, 1]
+        if summary_writer is not None:
+            for i, (l, e) in enumerate(zip(losses_np, epes_np)):
+                summary_writer.add_scalar("total_loss", float(l), start_iter + i)
+                summary_writer.add_scalar("epe", float(e), start_iter + i)
+            summary_writer.add_scalar("Learning_Rate", self.current_lr, epoch)
+        return float(losses_np.mean()), float(epes_np.mean()), iterations
 
     def validate(self, summary_writer=None, epoch: int = 0):
         epes_m, p1_m, inf_t = AverageMeter(), AverageMeter(), AverageMeter()
