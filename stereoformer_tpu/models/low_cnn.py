@@ -69,6 +69,7 @@ class LowCNN(nn.Module):
     radius: float = 2.0
     gamma: float = 1.0
     dtype: object = None             # compute dtype; jnp.bfloat16 for MXU speed
+    loop: str = "unroll"             # "unroll" | "scan" — GRU iteration style
 
     @nn.compact
     def __call__(
@@ -141,28 +142,66 @@ class LowCNN(nn.Module):
         out: dict = {"disp_low": disp_low}
 
         if self.refinement in ("gru", "gru_feature"):
-            update = GRUUpdate(
-                hidden=self.gru_hidden,
-                num_samples=self.num_samples,
-                with_mask=True,
-                feature_dim=64 if self.refinement == "gru_feature" else 0,
-                dtype=dt,
-            )
+            feature_dim = 64 if self.refinement == "gru_feature" else 0
+            gru_dim = 2 * self.gru_hidden + feature_dim
+            lf = feat_l if feature_dim else None
             # the guidance encoder consumes the images at 1/8; downscale
             # once instead of once per iteration (identical values — the
             # reference recomputes this inside every update, update.py:73-80)
-            H8, W8 = disp_low.shape[1:3]
+            B, H8, W8 = disp_low.shape[:3]
             left8 = ops.resize_bilinear(left, (H8, W8), align_corners=False)
             right8 = ops.resize_bilinear(right, (H8, W8), align_corners=False)
-            disp, hidden = disp_low, None
-            preds = []
-            for _ in range(iters):
-                disp, hidden, mask = update(
-                    volume, disp, left8, right8, hidden,
-                    left_feature=feat_l if self.refinement == "gru_feature" else None,
-                    train=train,
+
+            if self.loop == "scan":
+                # lax.scan over the iterations: the update traces ONCE
+                # (compile time ∝ 1 iteration instead of `iters`; memory
+                # handled by scan's native rematerialisation structure).
+                # Identical numerics to the unrolled loop (tested).
+                # batch_stats are carried (sequentially updated, like the
+                # unrolled loop) in train mode, read-only-broadcast in eval
+                scan_cls = nn.scan(
+                    GRUUpdate,
+                    variable_broadcast="params" if train else ("params", "batch_stats"),
+                    variable_carry="batch_stats" if train else False,
+                    split_rngs={"params": False},
+                    length=iters,
+                    in_axes=nn.broadcast,
+                    methods=["scan_step"],
                 )
-                preds.append(up(disp, mask))
+                scan_update = scan_cls(
+                    hidden=self.gru_hidden,
+                    num_samples=self.num_samples,
+                    with_mask=True,
+                    feature_dim=feature_dim,
+                    dtype=dt,
+                    name="gru_update",
+                )
+                hidden0 = jnp.zeros(
+                    (B, H8, W8, gru_dim),
+                    jnp.float32 if dt is None else dt,
+                )
+                (_, _), (disps, masks) = scan_update.scan_step(
+                    (disp_low, hidden0), volume, left8, right8, lf, train
+                )
+                # disps/masks: [T, B, H8, W8, ...] → upsample per step
+                preds = [up(disps[t], masks[t]) for t in range(iters)]
+            else:
+                update = GRUUpdate(
+                    hidden=self.gru_hidden,
+                    num_samples=self.num_samples,
+                    with_mask=True,
+                    feature_dim=feature_dim,
+                    dtype=dt,
+                    name="gru_update",
+                )
+                disp, hidden = disp_low, None
+                preds = []
+                for _ in range(iters):
+                    disp, hidden, mask = update(
+                        volume, disp, left8, right8, hidden,
+                        left_feature=lf, train=train,
+                    )
+                    preds.append(up(disp, mask))
             out["disparities"] = preds
             return out
 

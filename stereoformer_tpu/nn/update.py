@@ -162,6 +162,17 @@ class GRUUpdate(nn.Module):
         disp = local_soft_argmin(volume, cands)
         return disp, hidden_state, mask
 
+    def scan_step(self, carry, volume, left, right, left_feature, train):
+        """lax.scan-shaped wrapper: carry = (disp, hidden); per-step
+        outputs = (disp, mask).  Use via
+        ``nn.scan(GRUUpdate, methods=...)`` (see LowCNN loop="scan")."""
+        disp, hidden = carry
+        disp, hidden, mask = self(
+            volume, disp, left, right, hidden,
+            left_feature=left_feature, train=train,
+        )
+        return (disp, hidden), (disp, mask)
+
 
 class SmallUNet(nn.Module):
     """Offset-prediction net of the learned-bounds variant

@@ -101,9 +101,15 @@ class DisparityTrainer:
     # -- setup ---------------------------------------------------------------
 
     def _prepare_dataset(self):
-        if self.dataset == "dummy":
+        if self.dataset.startswith("dummy"):
+            # "dummy" or "dummy:N" (N synthetic training pairs)
+            n = (
+                int(self.dataset.split(":", 1)[1])
+                if ":" in self.dataset
+                else max(self.batch_size * 4, 8)
+            )
             self.train_set = DummyStereoDataset(
-                length=max(self.batch_size * 4, 8),
+                length=n,
                 height=self.crop_size[0], width=self.crop_size[1],
                 mode="train",
             )

@@ -111,3 +111,35 @@ def test_concat_cost_volume_mode(images):
     _, out = _run(model, images)
     assert len(out["disparities"]) == 2
     assert bool(jnp.isfinite(out["disparities"][-1]).all())
+
+
+def test_scan_loop_matches_unroll(images):
+    """loop="scan" must share the unrolled loop's parameter tree and
+    produce identical outputs (values + BN stat updates)."""
+    left, right = images
+    unroll = LowCNN(refinement="gru", loop="unroll")
+    scan = LowCNN(refinement="gru", loop="scan")
+    variables = unroll.init(jax.random.PRNGKey(0), left, right, iters=3, train=False)
+    # identical param structure -> scan can consume unroll's variables
+    out_u = unroll.apply(variables, left, right, iters=3, train=False)
+    out_s = scan.apply(variables, left, right, iters=3, train=False)
+    assert len(out_u["disparities"]) == len(out_s["disparities"]) == 3
+    for a, b in zip(out_u["disparities"], out_s["disparities"]):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-4)
+    # train mode: BN stats update identically
+    (_, mu), = [
+        (None, m["batch_stats"]) for m in [
+            unroll.apply(variables, left, right, iters=3, train=True,
+                         mutable=["batch_stats"])[1]
+        ]
+    ]
+    (_, ms), = [
+        (None, m["batch_stats"]) for m in [
+            scan.apply(variables, left, right, iters=3, train=True,
+                       mutable=["batch_stats"])[1]
+        ]
+    ]
+    for a, b in zip(jax.tree_util.tree_leaves(mu), jax.tree_util.tree_leaves(ms)):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=1e-5, atol=1e-4
+        )
