@@ -33,6 +33,7 @@ explicit integer (train default 12) so train and eval compute match.
 
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
 import flax.linen as nn
 
@@ -151,6 +152,7 @@ class LowCNN(nn.Module):
             B, H8, W8 = disp_low.shape[:3]
             left8 = ops.resize_bilinear(left, (H8, W8), align_corners=False)
             right8 = ops.resize_bilinear(right, (H8, W8), align_corners=False)
+            prob = jax.nn.softmax(volume, axis=-1)  # loop-invariant
 
             if self.loop == "scan":
                 # lax.scan over the iterations: the update traces ONCE
@@ -181,7 +183,8 @@ class LowCNN(nn.Module):
                     jnp.float32 if dt is None else dt,
                 )
                 (_, _), (disps, masks) = scan_update.scan_step(
-                    (disp_low, hidden0), volume, left8, right8, lf, train
+                    (disp_low, hidden0), volume, left8, right8, lf, train,
+                    prob,
                 )
                 # disps/masks: [T, B, H8, W8, ...] → upsample per step
                 preds = [up(disps[t], masks[t]) for t in range(iters)]
@@ -199,7 +202,7 @@ class LowCNN(nn.Module):
                 for _ in range(iters):
                     disp, hidden, mask = update(
                         volume, disp, left8, right8, hidden,
-                        left_feature=lf, train=train,
+                        left_feature=lf, train=train, prob=prob,
                     )
                     preds.append(up(disp, mask))
             out["disparities"] = preds

@@ -55,8 +55,12 @@ class GuidanceEncoder(nn.Module):
     dtype: object = None
 
     @nn.compact
-    def __call__(self, volume, cur_disp, left, right, train: bool = True):
-        prob = jax.nn.softmax(volume, axis=-1)
+    def __call__(self, volume, cur_disp, left, right, train: bool = True,
+                 prob=None):
+        # ``prob`` (softmax of the full volume) is loop-invariant across
+        # GRU iterations — callers may precompute it once
+        if prob is None:
+            prob = jax.nn.softmax(volume, axis=-1)
         left, right = _images_at(cur_disp, left, right)
         warped_left, _ = disp_warp(right, cur_disp)
         error_map = warped_left - left
@@ -121,10 +125,11 @@ class GRUUpdate(nn.Module):
         left_feature: Optional[jnp.ndarray] = None,
         train: bool = True,
         consider_valid: bool = True,
+        prob: Optional[jnp.ndarray] = None,
     ):
         D = volume.shape[-1]
         feats = GuidanceEncoder(hidden=self.hidden, dtype=self.dtype)(
-            volume, cur_disp, left, right, train=train
+            volume, cur_disp, left, right, train=train, prob=prob
         )
         gru_dim = 2 * self.hidden + self.feature_dim
         if self.feature_dim:
@@ -162,14 +167,15 @@ class GRUUpdate(nn.Module):
         disp = local_soft_argmin(volume, cands)
         return disp, hidden_state, mask
 
-    def scan_step(self, carry, volume, left, right, left_feature, train):
+    def scan_step(self, carry, volume, left, right, left_feature, train,
+                  prob):
         """lax.scan-shaped wrapper: carry = (disp, hidden); per-step
         outputs = (disp, mask).  Use via
         ``nn.scan(GRUUpdate, methods=...)`` (see LowCNN loop="scan")."""
         disp, hidden = carry
         disp, hidden, mask = self(
             volume, disp, left, right, hidden,
-            left_feature=left_feature, train=train,
+            left_feature=left_feature, train=train, prob=prob,
         )
         return (disp, hidden), (disp, mask)
 
