@@ -80,7 +80,12 @@ def main(argv=None):
     import jax
 
     from ..parallel import make_mesh
-    from ..train import DisparityTrainer, latest_checkpoint, save_checkpoint
+    from ..train import (
+        DisparityTrainer,
+        finalize_checkpoints,
+        latest_checkpoint,
+        save_checkpoint,
+    )
     from ..utils import get_logger, load_loss_scheme
 
     logger = get_logger(os.path.join(opt.outf, "train.log"))
@@ -188,6 +193,7 @@ def main(argv=None):
             )
             logger.info("min epe from epoch %d", best_index)
         start_epoch = 0
+    finalize_checkpoints()
 
 
 if __name__ == "__main__":

@@ -2,6 +2,7 @@
 checkpoints."""
 
 from .checkpoint import (
+    finalize_checkpoints,
     latest_checkpoint,
     restore_checkpoint,
     restore_params,
@@ -23,6 +24,7 @@ __all__ = [
     "freeze_offsets",
     "masked_optimizer",
     "only_offsets",
+    "finalize_checkpoints",
     "latest_checkpoint",
     "restore_checkpoint",
     "restore_params",

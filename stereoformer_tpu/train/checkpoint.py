@@ -28,6 +28,46 @@ def _checkpointer():
     return ocp.PyTreeCheckpointer()
 
 
+# async save machinery: one in-flight save at a time; the pending meta /
+# best-copy are materialised when the save lands (at the next save or at
+# finalize) — orbax renames its temp dir into place, so nothing may touch
+# the target path until then
+_async_cp = None
+_pending: list[tuple[str, bool, str, dict]] = []  # (path, is_best, dir, meta)
+
+
+def _async_checkpointer():
+    global _async_cp
+    if _async_cp is None:
+        import orbax.checkpoint as ocp
+
+        _async_cp = ocp.AsyncCheckpointer(ocp.PyTreeCheckpointHandler())
+    return _async_cp
+
+
+def _drain_pending():
+    """Wait for the in-flight save, write its meta, materialise best-copy."""
+    global _pending
+    if _async_cp is not None:
+        _async_cp.wait_until_finished()
+    for path, is_best, ckpt_dir, meta in _pending:
+        if not os.path.exists(path):
+            continue
+        with open(os.path.join(path, "meta.json"), "w") as f:
+            json.dump(meta, f)
+        if is_best:
+            best = os.path.join(ckpt_dir, "model_best")
+            if os.path.exists(best):
+                shutil.rmtree(best)
+            shutil.copytree(path, best)
+    _pending = []
+
+
+def finalize_checkpoints():
+    """Block until every async save has landed (call at end of training)."""
+    _drain_pending()
+
+
 def save_checkpoint(
     ckpt_dir: str,
     state: TrainState,
@@ -36,19 +76,32 @@ def save_checkpoint(
     epoch: int,
     val_epe: float,
     is_best: bool,
+    use_async: bool = True,
 ) -> str:
-    """Save ``{net}_{round}_{epoch}_{epe:.3f}`` (+ ``model_best`` copy)."""
+    """Save ``{net}_{round}_{epoch}_{epe:.3f}`` (+ ``model_best`` copy).
+
+    ``use_async=True`` (default) overlaps the serialisation with the next
+    epoch's compute (a sync 18M-param save costs ~13 s through this
+    filesystem); at most one save is in flight and ``finalize_checkpoints``
+    (or the next save) joins it.
+    """
     os.makedirs(ckpt_dir, exist_ok=True)
     name = f"{net_name}_{round_idx}_{epoch}_{val_epe:.3f}"
     path = os.path.abspath(os.path.join(ckpt_dir, name))
-    cp = _checkpointer()
     if os.path.exists(path):
         shutil.rmtree(path)
-    cp.save(path, state)
     meta = {
         "round": round_idx, "epoch": epoch, "arch": net_name,
         "best_EPE": val_epe, "step": int(state.step),
     }
+    if use_async:
+        _drain_pending()
+        cp = _async_checkpointer()
+        cp.save(path, state)
+        _pending.append((path, is_best, ckpt_dir, meta))
+        return path
+    cp = _checkpointer()
+    cp.save(path, state)
     with open(os.path.join(path, "meta.json"), "w") as f:
         json.dump(meta, f)
     if is_best:

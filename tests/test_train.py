@@ -102,6 +102,9 @@ def test_checkpoint_roundtrip(tmp_path):
     batch = _dummy_batch()
     state, _ = step(state, batch)
     p = save_checkpoint(str(tmp_path), state, "LowCNN", 0, 3, 1.234, True)
+    from stereoformer_tpu.train import finalize_checkpoints
+
+    finalize_checkpoints()
     # mutate, then restore into the same structure
     zero_state = jax.tree_util.tree_map(jnp.zeros_like, state)
     back = restore_checkpoint(p, zero_state)
