@@ -3,6 +3,7 @@ torch.nn.functional.interpolate; warp semantics."""
 
 import numpy as np
 import pytest
+import jax
 import jax.numpy as jnp
 
 from stereoformer_tpu import ops
@@ -111,3 +112,55 @@ def test_corr1d_pyramid_and_lookup():
     np.testing.assert_allclose(
         np.asarray(feat)[..., 4], np.asarray(corr)[..., 5], atol=1e-5
     )
+
+
+def test_onehot_window_sampler_matches_gather():
+    """The gather-free windowed sampler must match the gather reference,
+    including out-of-range zero padding and fractional coords."""
+    from stereoformer_tpu.ops.corr1d import _sample_last, _sample_last_gather
+
+    rng = np.random.RandomState(7)
+    corr = jnp.asarray(rng.randn(2, 3, 10, 32).astype(np.float32))
+    r = 4
+    offsets = jnp.arange(-r, r + 1, dtype=jnp.float32)
+    # centres incl. negatives, > W2, integers, fractions (one per pixel)
+    centres = jnp.asarray(
+        np.stack([
+            rng.uniform(-6, 38, (2, 3)),
+            np.zeros((2, 3)), np.full((2, 3), 31.0),
+            rng.uniform(0, 31, (2, 3)),
+            np.full((2, 3), 15.0),
+            rng.uniform(-6, 38, (2, 3)),
+            rng.uniform(-6, 38, (2, 3)),
+            rng.uniform(-6, 38, (2, 3)),
+            rng.uniform(-6, 38, (2, 3)),
+            rng.uniform(-6, 38, (2, 3)),
+        ], axis=-1).astype(np.float32)
+    )  # [2, 3, 10] — one centre per corr row
+    c = centres[..., None] + offsets
+    want = _sample_last_gather(corr, c)
+    got = _sample_last(corr, c, radius=r)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=1e-4)
+
+
+def test_onehot_window_grads_match():
+    from stereoformer_tpu.ops.corr1d import _sample_last, _sample_last_gather
+
+    rng = np.random.RandomState(8)
+    corr = jnp.asarray(rng.randn(1, 2, 4, 16).astype(np.float32))
+    centres = jnp.asarray(rng.uniform(0, 15, (1, 2, 4)).astype(np.float32))
+    r = 2
+    offsets = jnp.arange(-r, r + 1, dtype=jnp.float32)
+
+    def f_gather(corr_, c_):
+        c = c_[..., None] + offsets
+        return jnp.sum(jnp.sin(_sample_last_gather(corr_, c)))
+
+    def f_onehot(corr_, c_):
+        c = c_[..., None] + offsets
+        return jnp.sum(jnp.sin(_sample_last(corr_, c, radius=r)))
+
+    ga = jax.grad(f_gather, argnums=(0, 1))(corr, centres)
+    gb = jax.grad(f_onehot, argnums=(0, 1))(corr, centres)
+    for a, b in zip(ga, gb):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-4)
