@@ -104,18 +104,14 @@ def main(argv=None):
         epochs = [opt.epochs] * train_round
 
     if opt.resume:
+        from ..train.checkpoint import checkpoint_meta
+
         latest = latest_checkpoint(opt.outf, opt.net)
         if latest:
             opt.pretrain = latest
-            try:
-                with open(os.path.join(latest, "meta.json")) as f:
-                    import json as _json
-
-                    meta = _json.load(f)
-                opt.startRound = meta.get("round", opt.startRound)
-                opt.startEpoch = meta.get("epoch", opt.startEpoch) + 1
-            except Exception:
-                pass
+            meta = checkpoint_meta(latest)
+            opt.startRound = meta.get("round", opt.startRound)
+            opt.startEpoch = meta.get("epoch", opt.startEpoch) + 1
 
     devices = jax.devices()
     if opt.devices not in ("all", ""):
@@ -139,7 +135,7 @@ def main(argv=None):
         test_batch=opt.test_batch,
         loss=opt.loss_name,
         loss_weights=(loss_weights[opt.startRound]
-                      if loss_weights else None),
+                      if loss_weights else None),  # per-round updates below
         train_iters=opt.train_iters,
         eval_iters=opt.eval_iters,
         crop_size=(opt.crop_h, opt.crop_w),
@@ -169,6 +165,8 @@ def main(argv=None):
         end_epoch = epochs[r] if r < len(epochs) else epochs[-1]
         logger.info("round %d (%d epochs)%s", r, end_epoch,
                     f" weights {loss_weights[r]}" if loss_weights else "")
+        if loss_weights and r < len(loss_weights):
+            trainer.set_loss_weights(loss_weights[r])
         for i in range(start_epoch, end_epoch):
             if opt.profile_dir and i == start_epoch and r == opt.startRound:
                 with jax.profiler.trace(opt.profile_dir):

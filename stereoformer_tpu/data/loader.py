@@ -34,8 +34,9 @@ def _collate(samples: list[dict]) -> dict:
         if k in samples[0]:
             arrs = [s[k] for s in samples]
             batch[k] = np.stack(arrs).astype(np.float32)
-    if "gt_disp" in batch and batch["gt_disp"].ndim == 3:
-        batch["gt_disp"] = batch["gt_disp"][..., None]  # NHW -> NHW1
+    for k in ("gt_disp", "pseudo_disp"):
+        if k in batch and batch[k].ndim == 3:
+            batch[k] = batch[k][..., None]  # NHW -> NHW1
     if "left_name" in samples[0]:
         batch["left_name"] = [s["left_name"] for s in samples]
     return batch
@@ -113,17 +114,30 @@ class DataLoader:
 
         def producer():
             try:
+                from collections import deque
                 from concurrent.futures import ThreadPoolExecutor
 
                 with ThreadPoolExecutor(self.num_workers) as pool:
-                    # pipeline: submit decode jobs per batch, keep `prefetch`
-                    # batches in flight
-                    futures = [
-                        [pool.submit(self._load_one, i) for i in b]
-                        for b in batches
-                    ]
-                    for fb in futures:
+                    # keep only `prefetch`+1 batches of decode futures in
+                    # flight — submitting the whole epoch up front would
+                    # buffer unbounded decoded samples in memory
+                    in_flight: deque = deque()
+                    it = iter(batches)
+                    while True:
+                        while len(in_flight) <= self.prefetch:
+                            b = next(it, None)
+                            if b is None:
+                                break
+                            in_flight.append(
+                                [pool.submit(self._load_one, i) for i in b]
+                            )
+                        if not in_flight:
+                            break
+                        fb = in_flight.popleft()
                         if stop.is_set():
+                            for flist in in_flight:
+                                for f in flist:
+                                    f.cancel()
                             return
                         out_q.put(_collate([f.result() for f in fb]))
             except Exception as e:  # surface worker errors to the consumer

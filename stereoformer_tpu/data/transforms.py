@@ -130,11 +130,11 @@ def random_color(sample: dict, rng: np.random.Generator) -> dict:
     in random order; each itself applied with p=0.5 (transforms.py:236-262).
     Operates on 0..255 images (call before ``to_unit``)."""
     ops = [
-        lambda im: _adjust_contrast(im, rng.uniform(0.8, 1.2)),
-        lambda im: _adjust_gamma(im, rng.uniform(0.7, 1.5)),
-        lambda im: _adjust_brightness(im, rng.uniform(0.5, 2.0)),
-        lambda im: _adjust_hue(im, rng.uniform(-0.1, 0.1)),
-        lambda im: _adjust_saturation(im, rng.uniform(0.8, 1.2)),
+        (_adjust_contrast, lambda: rng.uniform(0.8, 1.2)),
+        (_adjust_gamma, lambda: rng.uniform(0.7, 1.5)),
+        (_adjust_brightness, lambda: rng.uniform(0.5, 2.0)),
+        (_adjust_hue, lambda: rng.uniform(-0.1, 0.1)),
+        (_adjust_saturation, lambda: rng.uniform(0.8, 1.2)),
     ]
     idx = list(range(len(ops)))
     if rng.random() < 0.5:
@@ -143,9 +143,10 @@ def random_color(sample: dict, rng: np.random.Generator) -> dict:
         rng.shuffle(idx)
     for i in idx:
         if rng.random() < 0.5:
-            params_op = ops[i]
+            fn, draw = ops[i]
+            param = draw()  # ONE draw — both views get identical jitter
             for k in _IMG_KEYS:
-                sample[k] = params_op(sample[k]).astype(np.float32)
+                sample[k] = fn(sample[k], param).astype(np.float32)
     return sample
 
 

@@ -21,6 +21,7 @@ Outputs match the LowCNN dict contract so trainers / losses are shared.
 
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
 import flax.linen as nn
 
@@ -105,14 +106,15 @@ class CrossAttentionStereo(nn.Module):
             hidden=self.gru_hidden, num_samples=self.num_samples,
             with_mask=True, dtype=dt,
         )
-        # hoist the per-iteration image downscale (see LowCNN)
+        # hoist the per-iteration image downscale + prob (see LowCNN)
         left8 = ops.resize_bilinear(left, (H8, W8), align_corners=False)
         right8 = ops.resize_bilinear(right, (H8, W8), align_corners=False)
+        prob = jax.nn.softmax(volume, axis=-1)
         disp, hidden = disp_low, None
         preds = []
         for _ in range(iters):
             disp, hidden, mask = update(
-                volume, disp, left8, right8, hidden, train=train
+                volume, disp, left8, right8, hidden, train=train, prob=prob
             )
             if self.upsample == "convex":
                 preds.append(ops.upsample_convex8(disp, mask))

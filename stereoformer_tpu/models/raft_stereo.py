@@ -34,6 +34,11 @@ class RAFTStereo(nn.Module):
     corr_levels: int = 4
     corr_radius: int = 4
     n_gru_layers: int = 3
+    # "raw": inputs are 0..255 RGB (the reference convention,
+    # raft_stereo.py:132); "imagenet": inputs are ImageNet-normalised (the
+    # shared data pipeline / DisparityTrainer convention) and are converted
+    # back to the [-1, 1] range the encoders expect.
+    input_norm: str = "raw"
 
     @nn.compact
     def __call__(
@@ -45,8 +50,14 @@ class RAFTStereo(nn.Module):
         test_mode: bool = False,
         train: bool = True,
     ):
-        left = 2.0 * (left / 255.0) - 1.0
-        right = 2.0 * (right / 255.0) - 1.0
+        if self.input_norm == "imagenet":
+            mean = jnp.asarray([0.485, 0.456, 0.406])
+            std = jnp.asarray([0.229, 0.224, 0.225])
+            left = 2.0 * (left * std + mean) - 1.0
+            right = 2.0 * (right * std + mean) - 1.0
+        else:
+            left = 2.0 * (left / 255.0) - 1.0
+            right = 2.0 * (right / 255.0) - 1.0
 
         cnet = MultiBasicEncoder(
             output_dims=(tuple(self.hidden_dims), tuple(self.hidden_dims)),

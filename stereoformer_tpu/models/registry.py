@@ -85,6 +85,10 @@ def _lowcnn_gru2(**kw):
 def _raft(**kw):
     from .raft_stereo import RAFTStereo
 
+    # the shared trainer/eval contract passes max_disp and ImageNet-
+    # normalised images; RAFT has no disparity cap and expects [-1, 1]
+    kw.pop("max_disp", None)
+    kw.setdefault("input_norm", "imagenet")
     return RAFTStereo(**kw)
 
 

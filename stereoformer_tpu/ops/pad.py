@@ -14,8 +14,10 @@ import numpy as np
 
 class InputPadder:
     """Pad NHWC images so H, W are multiples of ``divisor``
-    (utils.py:7-27: 'sintel' mode pads top+bottom symmetric, otherwise all
-    padding goes to top/right like the reference's replicate pad)."""
+    (utils.py:7-27: 'sintel' mode splits height padding top+bottom;
+    default mode puts all height padding at the BOTTOM — F.pad order is
+    (left, right, top, bottom) and the reference passes [.., .., 0,
+    pad_ht])."""
 
     def __init__(self, shape, divisor: int = 8, mode: str = "default"):
         self.ht, self.wd = shape[-3], shape[-2]
@@ -25,7 +27,7 @@ class InputPadder:
             self._pad = (pad_wd // 2, pad_wd - pad_wd // 2,
                          pad_ht // 2, pad_ht - pad_ht // 2)
         else:
-            self._pad = (pad_wd // 2, pad_wd - pad_wd // 2, pad_ht, 0)
+            self._pad = (pad_wd // 2, pad_wd - pad_wd // 2, 0, pad_ht)
 
     def pad(self, *inputs):
         l, r, t, b = self._pad

@@ -133,14 +133,43 @@ def restore_params(path: str, target: TrainState) -> TrainState:
     )
 
 
+def checkpoint_meta(path: str) -> dict:
+    """round/epoch/… for a checkpoint: meta.json when present, else parsed
+    from the ``{net}_{round}_{epoch}_{epe}`` directory name (the async
+    path writes meta on landing, so a crash can leave it absent)."""
+    try:
+        with open(os.path.join(path, "meta.json")) as f:
+            return json.load(f)
+    except Exception:
+        m = re.search(r"_(\d+)_(\d+)_([0-9.]+)$", os.path.basename(path))
+        if m:
+            return {
+                "round": int(m.group(1)),
+                "epoch": int(m.group(2)),
+                "best_EPE": float(m.group(3).rstrip(".")),
+            }
+        return {}
+
+
+def _is_complete_checkpoint(path: str) -> bool:
+    # orbax writes to "<name>.orbax-checkpoint-tmp-*" and renames on
+    # completion — temp dirs must never be resumed from
+    return os.path.isdir(path) and ".orbax-checkpoint-tmp" not in path
+
+
 def latest_checkpoint(ckpt_dir: str, net_name: str) -> Optional[str]:
     """Resume-latest glob (utils/utils.py:103-113 semantics): highest
-    (round, epoch) among saved checkpoints."""
+    (round, epoch) among *completed* saved checkpoints."""
     pat = os.path.join(ckpt_dir, f"{net_name}_*_*_*")
     best: tuple[int, int] = (-1, -1)
     best_path = None
     for p in glob.glob(pat):
-        m = re.match(rf"{re.escape(net_name)}_(\d+)_(\d+)_", os.path.basename(p))
+        if not _is_complete_checkpoint(p):
+            continue
+        m = re.fullmatch(
+            rf"{re.escape(net_name)}_(\d+)_(\d+)_[0-9.]+",
+            os.path.basename(p),
+        )
         if m:
             key = (int(m.group(1)), int(m.group(2)))
             if key > best:

@@ -19,7 +19,7 @@ import jax.numpy as jnp
 import optax
 
 from .. import losses
-from ..metrics import p1_metric
+from ..metrics import thres_metric
 from ..ops import scale_disp
 from .state import TrainState
 
@@ -116,9 +116,12 @@ def make_eval_step(
         gt = batch["gt_disp"]
         if pred.shape[1:3] != gt.shape[1:3]:
             pred = scale_disp(pred, (gt.shape[1], gt.shape[2]))
+        # P1 over gt-valid pixels (the reference's P1 is an unmasked mean,
+        # trainer_DLC_GRU.py:273 — masking makes zero-padded batch rows
+        # metric-neutral and matches EPE's masking convention)
         return {
             "epe": losses.epe(pred, gt),
-            "p1": p1_metric(pred, gt),
+            "p1": thres_metric(pred, gt, losses.valid_mask(gt), 1.0),
         }
 
     return eval_step

@@ -176,6 +176,14 @@ class DisparityTrainer:
             )
 
     def initialize(self):
+        if self.mesh is not None:
+            n = self.mesh.devices.size
+            # padding train batches would feed fake samples into the loss
+            # (and BN stats); require clean divisibility instead
+            assert self.batch_size % n == 0 and self.test_batch % n == 0, (
+                f"batch_size={self.batch_size} / test_batch={self.test_batch}"
+                f" must be divisible by the {n}-device mesh"
+            )
         self._prepare_dataset()
         self._build_net()
         self._build_optimizer()
@@ -193,6 +201,19 @@ class DisparityTrainer:
                 logger.warning(
                     "Cannot load %s (%s); starting fresh", self.pretrain, e
                 )
+
+    def set_loss_weights(self, weights):
+        """Swap the per-round loss weights (loss-schedule JSON rounds,
+        train_low.py:51-58): rebuilds the jitted train step when they
+        actually change."""
+        w = tuple(weights)
+        if w == self.loss_weights:
+            return
+        self.loss_weights = w
+        self.train_step = make_train_step(
+            self.net, self.tx, self.loss_name, iters=self.train_iters,
+            weights=self.loss_weights, remat=self.remat,
+        )
 
     # -- epoch loops ---------------------------------------------------------
 
@@ -259,11 +280,20 @@ class DisparityTrainer:
     def validate(self, summary_writer=None, epoch: int = 0):
         epes_m, p1_m, inf_t = AverageMeter(), AverageMeter(), AverageMeter()
         for batch in self.val_loader:
+            n = batch["img_left"].shape[0]          # true sample count
+            if n < self.test_batch:
+                # fixed shapes: a differently-sized final batch would cost
+                # a second cold compile; padded rows have gt=0 and all
+                # eval metrics are gt-masked, so they contribute nothing
+                batch = parallel.pad_batch_to(
+                    {k: v for k, v in batch.items()
+                     if isinstance(v, np.ndarray)},
+                    self.test_batch,
+                )
             batch = self._device_batch(batch)
             t0 = time.perf_counter()
             metrics = jax.block_until_ready(self.eval_step(self.state, batch))
             dt = time.perf_counter() - t0
-            n = batch["img_left"].shape[0]
             epe, p1 = float(metrics["epe"]), float(metrics["p1"])
             if np.isfinite(epe):
                 epes_m.update(epe, n)

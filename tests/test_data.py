@@ -151,3 +151,47 @@ def test_loader_worker_error_propagates():
     loader = data.DataLoader(Bad(), batch_size=2, num_workers=2)
     with pytest.raises(RuntimeError, match="decode failed"):
         next(iter(loader))
+
+
+def test_random_color_same_jitter_both_views():
+    """Left and right must receive IDENTICAL photometric parameters
+    (reference RandomContrast etc. draw once per sample)."""
+    rng = np.random.default_rng(0)
+    img = np.full((8, 8, 3), 100.0, np.float32)
+    for seed in range(20):
+        s = {"img_left": img.copy(), "img_right": img.copy()}
+        out = data.random_color(s, np.random.default_rng(seed))
+        np.testing.assert_array_equal(out["img_left"], out["img_right"])
+
+
+def test_loader_bounded_prefetch():
+    """The loader must not decode the whole epoch ahead of the consumer."""
+    import threading
+    import time as _t
+
+    started = [0]
+    lock = threading.Lock()
+
+    class Tracking:
+        def __len__(self):
+            return 64
+
+        def __getitem__(self, i):
+            with lock:
+                started[0] += 1
+            return {"img_left": np.zeros((4, 4, 3), np.float32),
+                    "img_right": np.zeros((4, 4, 3), np.float32)}
+
+    prefetch = 2
+    loader = data.DataLoader(
+        Tracking(), batch_size=4, num_workers=2, prefetch=prefetch
+    )
+    it = iter(loader)
+    next(it)                      # consume one batch
+    _t.sleep(0.3)                 # give the producer time to run ahead
+    # decode-ahead bound: consumed(1) + queued(prefetch) + in-flight
+    # future-lists (prefetch+1) batches — far below the 16-batch epoch
+    assert started[0] <= (1 + prefetch + prefetch + 1) * 4, started[0]
+    for _ in it:                  # drain cleanly
+        pass
+    assert started[0] == 64
