@@ -69,3 +69,20 @@ def test_gradients_flow(setup):
 def test_registry(setup):
     m = get_model("RAFT_Stereo")
     assert isinstance(m, RAFTStereo)
+
+
+def test_raft_trainable_via_trainer():
+    """The shared trainer contract (registry + max_disp + ImageNet-
+    normalised pipeline) must work for the RAFT family."""
+    from stereoformer_tpu.train import DisparityTrainer
+
+    tr = DisparityTrainer(
+        lr=1e-4, dataset="dummy", batch_size=2, test_batch=2,
+        model="RAFT_Stereo", loss="sequence", train_iters=2, eval_iters=2,
+        crop_size=(32, 64), num_workers=0, mesh=None,
+    )
+    tr.initialize()
+    loss, epe, _ = tr.train_one_epoch(0, 0, 0, None)
+    assert np.isfinite(loss) and np.isfinite(epe)
+    v = tr.validate(None, 0)
+    assert np.isfinite(v)
