@@ -51,6 +51,9 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--crop_w", type=int, default=640)
     p.add_argument("--workers", type=int, default=None)
     p.add_argument("--remat", action="store_true")
+    p.add_argument("--dtype", type=str, default=None,
+                   choices=[None, "f32", "bf16"],
+                   help="compute dtype (params stay f32)")
     p.add_argument("--color_aug", action="store_true")
     p.add_argument("--no_mesh", action="store_true",
                    help="disable the device mesh (single-device debug)")
@@ -144,6 +147,7 @@ def main(argv=None):
         mesh=mesh,
         remat=opt.remat,
         color_aug=opt.color_aug,
+        dtype=opt.dtype,
     )
     trainer.initialize()
 

@@ -77,6 +77,7 @@ class DisparityTrainer:
         mesh=None,
         remat: bool = False,
         color_aug: bool = False,
+        dtype: Optional[str] = None,
     ):
         self.lr = lr
         self.dataset = dataset
@@ -95,6 +96,7 @@ class DisparityTrainer:
         self.mesh = mesh
         self.remat = remat
         self.color_aug = color_aug
+        self.dtype = dtype
         self.current_lr = lr
         self.is_pretrain = False
 
@@ -144,7 +146,10 @@ class DisparityTrainer:
         self.steps_per_epoch = max(len(self.train_loader), 1)
 
     def _build_net(self):
-        self.net = get_model(self.model_name, max_disp=self.maxdisp)
+        kw = {}
+        if self.dtype in ("bf16", "bfloat16"):
+            kw["dtype"] = jnp.bfloat16
+        self.net = get_model(self.model_name, max_disp=self.maxdisp, **kw)
         h, w = self.crop_size
         dummy = jnp.zeros((1, h, w, 3), jnp.float32)
         # jit the init: eager init dispatches op-by-op (minutes through a
@@ -226,6 +231,20 @@ class DisparityTrainer:
         self.current_lr = float(reference_lr(self.lr, epoch))
         return self.current_lr
 
+    def _prefetched(self, loader, depth: int = 2):
+        """Run host decode + H2D transfer ``depth`` batches ahead of the
+        consumer (device_put is async, so the copy of batch N+1 overlaps
+        step N — the reference relied on DataLoader worker prefetch only)."""
+        from collections import deque
+
+        buf = deque()
+        for batch in loader:
+            buf.append(self._device_batch(batch))
+            if len(buf) > depth:
+                yield buf.popleft()
+        while buf:
+            yield buf.popleft()
+
     def _device_batch(self, batch: dict) -> dict:
         arrays = {k: v for k, v in batch.items() if isinstance(v, np.ndarray)}
         if self.mesh is not None:
@@ -249,9 +268,8 @@ class DisparityTrainer:
         device_metrics: list = []       # [(loss, epe) device scalars]
         start_iter = iterations
         end = time.perf_counter()
-        for i_batch, batch in enumerate(self.train_loader):
+        for i_batch, batch in enumerate(self._prefetched(self.train_loader)):
             data_time.update(time.perf_counter() - end)
-            batch = self._device_batch(batch)
             self.state, metrics = self.train_step(self.state, batch)
             device_metrics.append((metrics["loss"], metrics["epe"]))
             batch_time.update(time.perf_counter() - end)
