@@ -100,3 +100,28 @@ def test_cli_analysis_dummy(tmp_path):
     assert os.path.exists(out_npz)
     data = np.load(out_npz)
     assert "disp_final" in data and np.isfinite(data["disp_final"]).all()
+
+
+def test_cli_infer_dummy(tmp_path):
+    """Infer CLI: odd-sized inputs (padder), PFM output, error map vs GT."""
+    from PIL import Image
+
+    from stereoformer_tpu.cli.infer import main as infer_main
+    from stereoformer_tpu.data import DummyStereoDataset, read_pfm, write_pfm
+
+    ds = DummyStereoDataset(length=1, height=30, width=61, max_disp=10)
+    s = ds[0]
+    lp, rp, gp = (str(tmp_path / n) for n in ("l.png", "r.png", "gt.pfm"))
+    Image.fromarray(s["img_left"].astype("uint8")).save(lp)
+    Image.fromarray(s["img_right"].astype("uint8")).save(rp)
+    write_pfm(gp, s["gt_disp"])
+    out = str(tmp_path / "disp.pfm")
+    err = str(tmp_path / "err.png")
+    disp = infer_main([
+        "--left", lp, "--right", rp, "--out", out,
+        "--gt", gp, "--error-out", err, "--iters", "1",
+    ])
+    assert disp.shape == (30, 61)
+    back, _ = read_pfm(out)
+    np.testing.assert_allclose(back, disp, atol=1e-5)
+    assert os.path.exists(err)

@@ -74,3 +74,16 @@ def test_cross_attention_gradients():
 def test_registry():
     m = get_model("CrossAttentionStereo")
     assert isinstance(m, CrossAttentionStereo)
+
+
+def test_cross_attention_trainable_via_trainer():
+    from stereoformer_tpu.train import DisparityTrainer
+
+    tr = DisparityTrainer(
+        lr=1e-4, dataset="dummy", batch_size=2, test_batch=2,
+        model="CrossAttentionStereo", loss="sequence",
+        train_iters=1, eval_iters=1, crop_size=(32, 64), num_workers=0,
+    )
+    tr.initialize()
+    loss, epe, _ = tr.train_one_epoch(0, 0, 0, None)
+    assert np.isfinite(loss)
