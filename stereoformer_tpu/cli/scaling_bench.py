@@ -32,6 +32,16 @@ def main(argv=None):
     p.add_argument("--reps", type=int, default=5)
     opt = p.parse_args(argv)
 
+    import os
+
+    if opt.platform == "cpu":
+        # virtual multi-device CPU mesh (must precede backend init)
+        flags = os.environ.get("XLA_FLAGS", "")
+        if "xla_force_host_platform_device_count" not in flags:
+            os.environ["XLA_FLAGS"] = (
+                flags + " --xla_force_host_platform_device_count=8"
+            ).strip()
+
     import jax
 
     if opt.platform:
