@@ -195,3 +195,17 @@ def test_loader_bounded_prefetch():
     for _ in it:                  # drain cleanly
         pass
     assert started[0] == 64
+
+
+def test_prefetch_to_device():
+    import jax
+
+    batches = [
+        {"img_left": np.ones((2, 4, 4, 3), np.float32) * i, "left_name": ["x"]}
+        for i in range(4)
+    ]
+    out = list(data.prefetch_to_device(batches, size=2))
+    assert len(out) == 4
+    assert isinstance(out[0]["img_left"], jax.Array)
+    np.testing.assert_allclose(np.asarray(out[2]["img_left"]), 2.0)
+    assert out[0]["left_name"] == ["x"]
