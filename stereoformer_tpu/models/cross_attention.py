@@ -67,8 +67,9 @@ class CrossAttentionStereo(nn.Module):
             f32 = down3(f16, train=train)
             return fusion([f32, f16, f8], train=train)
 
-        feat_l = extract(left)
-        feat_r = extract(right)
+        # batched siamese pass (see LowCNN)
+        feats = extract(jnp.concatenate([left, right], axis=0))
+        feat_l, feat_r = jnp.split(feats, 2, axis=0)
 
         # --- cross-attention cost volume at 1/8 ---
         proj = lambda name: nn.Conv(

@@ -110,8 +110,13 @@ class LowCNN(nn.Module):
             f32 = down3(f16, train=train)
             return fusion([f32, f16, f8], train=train)
 
-        feat_l = extract(left)
-        feat_r = extract(right)
+        # one batched pass over the stacked pair (RAFT's batch-concat trick,
+        # extractor.py:176-197): half the kernel launches, better MXU
+        # utilisation at small batch.  Train-mode BN statistics are computed
+        # jointly over both views instead of per-view (the reference calls
+        # the tower twice) — same spirit as its DataParallel statistics.
+        feats = extract(jnp.concatenate([left, right], axis=0))
+        feat_l, feat_r = jnp.split(feats, 2, axis=0)
 
         # --- 1/8 cost volume + aggregation + soft-argmin ---
         if self.cost_volume == "correlation":
