@@ -11,6 +11,14 @@ x·W/(W−1) − 0.5 — a half-pixel skew that grows across the image.  We samp
 at exactly x − disp (the mathematically intended location).  Models here
 are trained from scratch, so the learned layers absorb the (tiny)
 difference; tests pin *our* semantics.
+
+TPU note: the per-pixel ``take_along_axis`` lowered to a serialized gather
+costing 18% of the flagship forward (profiled); the default path is the
+gather-free padded one-hot + two shifted reductions (the same
+transformation as the cost-volume band and corr-pyramid lookup).  The
+validity mask is computed analytically — bilinear sampling of a
+ones-image with zeros padding thresholded at 0.9999 is exactly
+``0 ≤ x−disp ≤ W−1``.
 """
 
 from __future__ import annotations
@@ -18,8 +26,8 @@ from __future__ import annotations
 import jax.numpy as jnp
 
 
-def _sample_x(img: jnp.ndarray, x: jnp.ndarray, border: bool) -> jnp.ndarray:
-    """Bilinear sample along W at continuous coords x [B,H,W]; img NHWC."""
+def _sample_x_gather(img: jnp.ndarray, x: jnp.ndarray, border: bool) -> jnp.ndarray:
+    """Gather reference: bilinear sample along W at coords x [B,H,W]."""
     W = img.shape[2]
     x0 = jnp.floor(x).astype(jnp.int32)
     x1 = x0 + 1
@@ -37,21 +45,53 @@ def _sample_x(img: jnp.ndarray, x: jnp.ndarray, border: bool) -> jnp.ndarray:
     return out
 
 
-def disp_warp(img: jnp.ndarray, disp: jnp.ndarray, padding_mode: str = "border"):
+def _sample_x_onehot(img: jnp.ndarray, x: jnp.ndarray, border: bool) -> jnp.ndarray:
+    """Gather-free bilinear sample along W (one-hot of floor(x) contracted
+    with the row and its shift — exact match of the gather path)."""
+    B, H, W, C = img.shape
+    if border:
+        # where-based clamp (grad 1 at the boundary values themselves,
+        # matching the gather path's clamped-index gradient exactly)
+        x = jnp.where(x < 0.0, 0.0, jnp.where(x > W - 1.0, W - 1.0, x))
+    x0 = jnp.floor(x)
+    t = (x - x0)[..., None]                              # [B,H,W,1]
+    # padded one-hot so bases in [-1, W] are representable
+    P = 1
+    v = jnp.arange(W + 2 * P) - P
+    onehot = (x0[..., None] == v).astype(img.dtype)      # [B,H,W,W+2]
+    # border mode pads with EDGE values (tap x0+1 at the top edge must be
+    # the clamped img[W−1], as the gather path returns); zeros otherwise
+    pad_mode = "edge" if border else "constant"
+    big = jnp.pad(img, ((0, 0), (0, 0), (P + 1, P + 1), (0, 0)), mode=pad_mode)
+    # tap k: big_slice[v'] = img[v' − P + k]
+    v0 = jnp.einsum("bhwv,bhvc->bhwc", onehot, big[:, :, 1 : 1 + W + 2 * P])
+    v1 = jnp.einsum("bhwv,bhvc->bhwc", onehot, big[:, :, 2 : 2 + W + 2 * P])
+    return v0 * (1 - t) + v1 * t
+
+
+def _sample_x(img, x, border: bool, impl: str = "onehot"):
+    if impl == "gather":
+        return _sample_x_gather(img, x, border)
+    return _sample_x_onehot(img, x, border)
+
+
+def disp_warp(
+    img: jnp.ndarray, disp: jnp.ndarray, padding_mode: str = "border",
+    impl: str = "onehot",
+):
     """Warp ``img`` (the right view, NHWC [B,H,W,C]) by positive disparity
     ``disp`` [B,H,W,1]: out(x) = img(x − disp(x)).
 
     Returns (warped [B,H,W,C], valid_mask [B,H,W,1] ∈ {0,1}) where the mask
     is 1 only for pixels whose sample point lies fully inside the image
-    (disparity_warper.py:102-105 thresholding at 0.9999).
+    (disparity_warper.py:102-105 thresholding at 0.9999 ⇔
+    0 ≤ x−disp ≤ W−1, computed analytically).
     """
     B, H, W, C = img.shape
     x = jnp.arange(W, dtype=disp.dtype)[None, None, :]
     sx = x - disp[..., 0]                               # [B,H,W]
-    warped = _sample_x(img, sx, border=(padding_mode == "border"))
-    ones = jnp.ones((B, H, W, 1), img.dtype)
-    wmask = _sample_x(ones, sx, border=False)
-    valid = (wmask >= 0.9999).astype(img.dtype)
+    warped = _sample_x(img, sx, border=(padding_mode == "border"), impl=impl)
+    valid = ((sx >= 0) & (sx <= W - 1)).astype(img.dtype)[..., None]
     return warped, valid
 
 

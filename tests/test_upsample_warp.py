@@ -164,3 +164,30 @@ def test_onehot_window_grads_match():
     gb = jax.grad(f_onehot, argnums=(0, 1))(corr, centres)
     for a, b in zip(ga, gb):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-4)
+
+
+def test_warp_onehot_matches_gather():
+    from stereoformer_tpu.ops.warp import _sample_x_gather, _sample_x_onehot
+
+    rng = np.random.RandomState(9)
+    img = jnp.asarray(rng.randn(2, 3, 12, 4).astype(np.float32))
+    xs = jnp.asarray(
+        np.stack([
+            rng.uniform(-3, 15, (2, 3)), np.zeros((2, 3)),
+            np.full((2, 3), 11.0), rng.uniform(0, 11, (2, 3)),
+            np.full((2, 3), 5.0), rng.uniform(-3, 15, (2, 3)),
+            rng.uniform(-3, 15, (2, 3)), rng.uniform(-3, 15, (2, 3)),
+            rng.uniform(-3, 15, (2, 3)), rng.uniform(-3, 15, (2, 3)),
+            rng.uniform(-3, 15, (2, 3)), rng.uniform(-3, 15, (2, 3)),
+        ], axis=-1).astype(np.float32)
+    )  # [2,3,12]
+    for border in (True, False):
+        a = _sample_x_gather(img, xs, border)
+        b = _sample_x_onehot(img, xs, border)
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-4,
+                                   err_msg=f"border={border}")
+    # gradients
+    ga = jax.grad(lambda i, x: jnp.sum(jnp.sin(_sample_x_gather(i, x, True))), argnums=(0, 1))(img, xs)
+    gb = jax.grad(lambda i, x: jnp.sum(jnp.sin(_sample_x_onehot(i, x, True))), argnums=(0, 1))(img, xs)
+    for x, y in zip(ga, gb):
+        np.testing.assert_allclose(np.asarray(x), np.asarray(y), atol=1e-4)
