@@ -12,6 +12,7 @@ from __future__ import annotations
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 
 def _source_coords(out_size: int, in_size: int, align_corners: bool, dtype):
@@ -25,18 +26,39 @@ def _source_coords(out_size: int, in_size: int, align_corners: bool, dtype):
     return jnp.clip((out + 0.5) * scale - 0.5, 0.0, in_size - 1)
 
 
-def _interp_axis(x: jnp.ndarray, coords: jnp.ndarray, axis: int) -> jnp.ndarray:
-    in_size = x.shape[axis]
-    lo = jnp.floor(coords).astype(jnp.int32)
-    hi = jnp.clip(lo + 1, 0, in_size - 1)
-    lo = jnp.clip(lo, 0, in_size - 1)
-    t = coords - lo.astype(coords.dtype)
-    x_lo = jnp.take(x, lo, axis=axis)
-    x_hi = jnp.take(x, hi, axis=axis)
-    shape = [1] * x.ndim
-    shape[axis] = coords.shape[0]
-    t = t.reshape(shape)
-    return x_lo * (1 - t) + x_hi * t
+def _interp_matrix(out_size: int, in_size: int, align_corners: bool) -> jnp.ndarray:
+    """Static bilinear interpolation matrix M [out, in] with
+    out = M @ x along the resized axis — resize coordinates are static, so
+    the whole resample is one small matmul (TPU gathers serialize; a
+    constant-matrix contraction rides the MXU)."""
+    # pure-numpy coordinate math: this runs at TRACE time (shapes are
+    # static), so it must not touch jnp
+    out = np.arange(out_size, dtype=np.float64)
+    if align_corners:
+        coords = (
+            np.zeros(1) if out_size == 1
+            else out * ((in_size - 1) / (out_size - 1))
+        )
+    else:
+        coords = np.clip((out + 0.5) * (in_size / out_size) - 0.5, 0.0,
+                         in_size - 1)
+    lo = np.floor(coords).astype(np.int64)
+    hi = np.clip(lo + 1, 0, in_size - 1)
+    lo = np.clip(lo, 0, in_size - 1)
+    t = coords - lo
+    M = np.zeros((out_size, in_size), np.float32)
+    rows = np.arange(out_size)
+    np.add.at(M, (rows, lo), 1.0 - t)
+    np.add.at(M, (rows, hi), t)
+    return jnp.asarray(M)
+
+
+def _interp_axis(x: jnp.ndarray, coords, axis: int, M: jnp.ndarray) -> jnp.ndarray:
+    x_moved = jnp.moveaxis(x, axis, -1)
+    out = jnp.einsum(
+        "oi,...i->...o", M, x_moved, preferred_element_type=jnp.float32
+    ).astype(x.dtype)
+    return jnp.moveaxis(out, -1, axis)
 
 
 def resize_bilinear(
@@ -44,10 +66,10 @@ def resize_bilinear(
 ) -> jnp.ndarray:
     """Bilinear resize of NHWC (or HWC / NHW1) images to (H, W) = size."""
     H, W = size
-    ch = _source_coords(H, x.shape[-3], align_corners, jnp.float32)
-    cw = _source_coords(W, x.shape[-2], align_corners, jnp.float32)
-    x = _interp_axis(x, ch, axis=x.ndim - 3)
-    x = _interp_axis(x, cw, axis=x.ndim - 2)
+    Mh = _interp_matrix(H, x.shape[-3], align_corners)
+    Mw = _interp_matrix(W, x.shape[-2], align_corners)
+    x = _interp_axis(x, None, axis=x.ndim - 3, M=Mh)
+    x = _interp_axis(x, None, axis=x.ndim - 2, M=Mw)
     return x
 
 
