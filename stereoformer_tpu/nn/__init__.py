@@ -7,6 +7,7 @@ from .blocks import (
     DeformConv,
     FPNFusion,
     ResBlock,
+    StemConv,
 )
 from .aggregation import ConvBn3D, Hourglass3D, cost_volume_pyramid
 from .gru import ConvGRU, SepConvGRU
@@ -26,6 +27,7 @@ __all__ = [
     "DeformConv",
     "FPNFusion",
     "ResBlock",
+    "StemConv",
     "ConvBn3D",
     "Hourglass3D",
     "cost_volume_pyramid",

@@ -143,3 +143,28 @@ def test_scan_loop_matches_unroll(images):
         np.testing.assert_allclose(
             np.asarray(a), np.asarray(b), rtol=1e-5, atol=1e-4
         )
+
+
+def test_stem_conv_bit_equivalent():
+    """StemConv (space-to-depth) must equal a plain 7x7 s2 conv+leakyrelu
+    with the same weights."""
+    import flax.linen as nn_
+
+    from stereoformer_tpu.nn.blocks import StemConv
+
+    rng = np.random.RandomState(0)
+    x = jnp.asarray(rng.randn(2, 32, 48, 3).astype(np.float32))
+    stem = StemConv(features=16)
+    v = stem.init(jax.random.PRNGKey(0), x)
+    w = v["params"]["kernel"]
+    b = v["params"]["bias"]
+    got = stem.apply(v, x)
+    want = nn_.leaky_relu(
+        jax.lax.conv_general_dilated(
+            x, w, (2, 2), [(3, 3), (3, 3)],
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        ) + b,
+        negative_slope=0.1,
+    )
+    assert got.shape == want.shape == (2, 16, 24, 16)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=1e-4)
