@@ -4,73 +4,141 @@ per-image inference timing trainer_DLC_GRU.py:255-265).
 
 Prints ONE JSON line:
   {"metric": "pairs_per_sec_per_chip", "value": N, "unit": "pairs/s",
-   "vs_baseline": N}
+   "vs_baseline": N, ...}
 
-vs_baseline: the reference publishes no numbers (BASELINE.md).  The
-baseline constant below is the measured throughput of the reference
-PyTorch model class (RAFT-style 12-iteration refinement nets run ≈10
-pairs/s at this resolution on a V100-class GPU); the BASELINE.json target
-is ≥3× that per chip, i.e. vs_baseline ≥ 3.0 at parity with the target.
+vs_baseline: the reference publishes no numbers anywhere (BASELINE.md), so
+the denominator is an ASSUMED literature figure — RAFT-style 12-iteration
+refinement nets run ≈10 pairs/s at this resolution on a V100-class GPU.
+The JSON carries "baseline": "assumed" to say so.  BASELINE.json's target
+is ≥3× per chip, i.e. vs_baseline ≥ 3.0 means target met.
+
+Compile-budget protocol: cold remote compiles through the axon tunnel cost
+minutes, and the driver runs this script under a time budget.  A
+persistent XLA compilation cache (.xla_cache/) makes warm compiles ~20 s;
+a marker file records which GRU loop mode has been pre-warmed.  With no
+warm cache the script falls back to loop="scan" (same numerics, ~4×
+cheaper cold compile, slower steady state) rather than blowing the budget
+and reporting nothing.  Override with BENCH_MODE=unroll|scan.
 """
 
 from __future__ import annotations
 
 import json
+import os
+import sys
 import time
 
-BASELINE_PAIRS_PER_SEC_GPU = 10.0
+_T0 = time.perf_counter()
+
+
+def _phase(msg: str) -> None:
+    print(f"[bench +{time.perf_counter() - _T0:7.1f}s] {msg}", file=sys.stderr,
+          flush=True)
+
+BASELINE_PAIRS_PER_SEC_GPU = 10.0  # assumed, not measured (see docstring)
+# bf16 matmul peak of one TPU v5 lite chip, for the MFU denominator
+V5E_BF16_PEAK_TFLOPS = 197.0
+
+H, W = 576, 960
+BATCH = 4
+ITERS = 12
+
+
+def _marker(cache_dir: str, mode: str) -> str:
+    return os.path.join(cache_dir, f"BENCH_WARM_{mode}_{H}x{W}_b{BATCH}_i{ITERS}")
 
 
 def main():
+    from stereoformer_tpu.utils import enable_persistent_cache
+
+    cache_dir = enable_persistent_cache()
+
     import jax
     import jax.numpy as jnp
     import numpy as np
 
     from stereoformer_tpu.models import get_model
 
-    model = get_model("LowCNN_gru")
-    H, W = 576, 960
-    batch = 4
-    iters = 12
+    mode = os.environ.get("BENCH_MODE", "")
+    if mode not in ("unroll", "scan"):
+        mode = "unroll" if os.path.exists(_marker(cache_dir, "unroll")) else "scan"
+
+    model = get_model("LowCNN_gru", loop=mode)
+    _phase(f"imports done, mode={mode}, devices={jax.devices()}")
 
     rng = np.random.RandomState(0)
-    left = jnp.asarray(rng.randn(batch, H, W, 3).astype(np.float32))
-    right = jnp.asarray(rng.randn(batch, H, W, 3).astype(np.float32))
+    left = jnp.asarray(rng.randn(BATCH, H, W, 3).astype(np.float32))
+    right = jnp.asarray(rng.randn(BATCH, H, W, 3).astype(np.float32))
     variables = jax.jit(
         lambda l, r: model.init(jax.random.PRNGKey(0), l, r, iters=1, train=False)
     )(left, right)
+    _phase("model init done")
 
-    @jax.jit
-    def infer(v, l, r):
+    def infer_fn(v, l, r):
         # reduce to a scalar so the sync transfers 4 bytes, not the map
         return jnp.sum(
-            model.apply(v, l, r, iters=iters, train=False)["disparities"][-1]
+            model.apply(v, l, r, iters=ITERS, train=False)["disparities"][-1]
         )
 
-    # compile + warmup (float() forces a real host sync; block_until_ready
-    # does not round-trip through every PJRT transport)
-    float(infer(variables, left, right))
-    float(infer(variables, left, right))
+    compiled = jax.jit(infer_fn).lower(variables, left, right).compile()
+    _phase("infer compiled")
+
+    # FLOPs of the eval forward, from XLA's own cost model (may be
+    # unavailable on some PJRT transports — then flops fields are omitted)
+    flops_per_pair = None
+    try:
+        cost = compiled.cost_analysis()
+        if isinstance(cost, (list, tuple)):
+            cost = cost[0]
+        f = float(cost.get("flops", 0.0))
+        if f > 0:
+            flops_per_pair = f / BATCH
+    except Exception:
+        pass
+    _phase("cost analysis done")
+
+    # warmup (float() forces a real host sync; block_until_ready does not
+    # round-trip through every PJRT transport)
+    float(compiled(variables, left, right))
+    _phase("warmup 1 done")
+    float(compiled(variables, left, right))
+    _phase("warmup 2 done")
 
     # pipelined steady-state: dispatch all reps, sync once — the device
     # queue serialises execution, so total/reps is true per-batch time
     reps = 20
     t0 = time.perf_counter()
-    outs = [infer(variables, left, right) for _ in range(reps)]
+    outs = [compiled(variables, left, right) for _ in range(reps)]
     float(outs[-1])
     dt = time.perf_counter() - t0
-    pairs_per_sec = reps * batch / dt
+    pairs_per_sec = reps * BATCH / dt
 
-    print(
-        json.dumps(
-            {
-                "metric": "pairs_per_sec_per_chip",
-                "value": round(pairs_per_sec, 3),
-                "unit": "pairs/s",
-                "vs_baseline": round(pairs_per_sec / BASELINE_PAIRS_PER_SEC_GPU, 3),
-            }
+    # mark this mode as compile-warm for future runs
+    try:
+        with open(_marker(cache_dir, mode), "w") as fh:
+            fh.write(f"{time.time()}\n")
+    except OSError:
+        pass
+
+    record = {
+        "metric": "pairs_per_sec_per_chip",
+        "value": round(pairs_per_sec, 3),
+        "unit": "pairs/s",
+        "vs_baseline": round(pairs_per_sec / BASELINE_PAIRS_PER_SEC_GPU, 3),
+        "baseline": "assumed",
+        "mode": mode,
+        "resolution": f"{H}x{W}",
+        "batch": BATCH,
+        "iters": ITERS,
+    }
+    if flops_per_pair is not None:
+        achieved_tflops = flops_per_pair * pairs_per_sec / 1e12
+        record["gflop_per_pair"] = round(flops_per_pair / 1e9, 1)
+        record["achieved_tflops"] = round(achieved_tflops, 1)
+        record["mfu_vs_bf16_peak"] = round(
+            achieved_tflops / V5E_BF16_PEAK_TFLOPS, 4
         )
-    )
+    print(json.dumps(record))
 
 
 if __name__ == "__main__":

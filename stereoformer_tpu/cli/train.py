@@ -49,6 +49,10 @@ def build_parser() -> argparse.ArgumentParser:
                             "range_supervised"])
     p.add_argument("--crop_h", type=int, default=320)
     p.add_argument("--crop_w", type=int, default=640)
+    p.add_argument("--scale_h", type=int, default=576,
+                   help="val/test image resize height "
+                        "(SceneflowLoader.py:32 scale_size)")
+    p.add_argument("--scale_w", type=int, default=960)
     p.add_argument("--workers", type=int, default=None)
     p.add_argument("--remat", action="store_true")
     p.add_argument("--dtype", type=str, default=None,
@@ -89,8 +93,9 @@ def main(argv=None):
         latest_checkpoint,
         save_checkpoint,
     )
-    from ..utils import get_logger, load_loss_scheme
+    from ..utils import enable_persistent_cache, get_logger, load_loss_scheme
 
+    enable_persistent_cache()
     logger = get_logger(os.path.join(opt.outf, "train.log"))
 
     random.seed(opt.manualSeed)
@@ -148,6 +153,7 @@ def main(argv=None):
         remat=opt.remat,
         color_aug=opt.color_aug,
         dtype=opt.dtype,
+        scale_size=(opt.scale_h, opt.scale_w),
     )
     trainer.initialize()
 

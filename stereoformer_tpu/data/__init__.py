@@ -7,9 +7,11 @@ from .loader import DataLoader, num_workers_default, prefetch_to_device
 from .transforms import (
     IMAGENET_MEAN,
     IMAGENET_STD,
+    lighting,
     normalize,
     random_color,
     random_crop,
+    random_rescale,
     random_vertical_flip,
     to_unit,
     train_transform,
@@ -32,9 +34,11 @@ __all__ = [
     "prefetch_to_device",
     "IMAGENET_MEAN",
     "IMAGENET_STD",
+    "lighting",
     "normalize",
     "random_color",
     "random_crop",
+    "random_rescale",
     "random_vertical_flip",
     "to_unit",
     "train_transform",

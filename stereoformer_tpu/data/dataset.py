@@ -103,6 +103,7 @@ class StereoDataset:
         load_pseudo_gt: bool = False,
         transform=None,
         filenames_dir: Optional[str] = None,
+        scale_size: tuple[int, int] = SCALE_SIZE,
     ):
         self.data_dir = data_dir
         self.mode = mode
@@ -110,7 +111,7 @@ class StereoDataset:
         self.save_filename = save_filename
         self.transform = transform
         self.img_size = IMG_SIZE
-        self.scale_size = SCALE_SIZE
+        self.scale_size = scale_size
 
         if dataset_name == "SceneFlow" or dataset_name not in _DATASET_LISTS:
             list_file = train_datalist if mode == "train" else test_datalist

@@ -20,7 +20,9 @@ IMAGENET_MEAN = np.array([0.485, 0.456, 0.406], np.float32)
 IMAGENET_STD = np.array([0.229, 0.224, 0.225], np.float32)
 
 _IMG_KEYS = ("img_left", "img_right")
-_DENSE_KEYS = ("img_left", "img_right", "gt_disp", "pseudo_disp")
+# gt_normal: [H, W, 3] surface-normal maps ride the same crop/pad/flip as
+# disparity (reference transforms.py:35-95,149-150)
+_DENSE_KEYS = ("img_left", "img_right", "gt_disp", "pseudo_disp", "gt_normal")
 
 
 def to_unit(sample: dict) -> dict:
@@ -147,6 +149,71 @@ def random_color(sample: dict, rng: np.random.Generator) -> dict:
             param = draw()  # ONE draw — both views get identical jitter
             for k in _IMG_KEYS:
                 sample[k] = fn(sample[k], param).astype(np.float32)
+    return sample
+
+
+# --- legacy preprocess.py transforms (inactive in the reference's trained
+# config — kept for §2.10 parity; see dataloader/preprocess.py:85 where
+# Lighting is commented out of the assembled pipeline) ------------------------
+
+# AlexNet-style ImageNet PCA statistics (preprocess.py:22-29)
+IMAGENET_PCA_EIGVAL = np.array([0.2175, 0.0188, 0.0045], np.float32)
+IMAGENET_PCA_EIGVEC = np.array(
+    [
+        [-0.5675, 0.7192, 0.4009],
+        [-0.5808, -0.0045, -0.8140],
+        [-0.5836, -0.6948, 0.4203],
+    ],
+    np.float32,
+)
+
+
+def lighting(
+    sample: dict, rng: np.random.Generator, alphastd: float = 0.1,
+    eigval: np.ndarray = IMAGENET_PCA_EIGVAL,
+    eigvec: np.ndarray = IMAGENET_PCA_EIGVEC,
+) -> dict:
+    """AlexNet PCA lighting noise (preprocess.py:129-148): add
+    ``eigvec @ (alpha * eigval)`` per channel, one alpha draw shared by
+    both views.  Operates on whatever scale the images are in (the
+    reference applied it on 0..1 tensors)."""
+    if alphastd == 0:
+        return sample
+    alpha = rng.normal(0, alphastd, size=3).astype(np.float32)
+    rgb = (eigvec * alpha[None, :] * eigval[None, :]).sum(axis=1)
+    for k in _IMG_KEYS:
+        sample[k] = sample[k] + rgb
+    return sample
+
+
+def random_rescale(sample: dict, output_size: tuple[int, int]) -> dict:
+    """Resize both views to ``output_size`` with bilinear interpolation
+    (preprocess.py:221-254).  Faithful to the reference: ``gt_disp`` is
+    only cast to float32, *not* resized and *not* value-rescaled — a
+    quirk of the (inactive) upstream code, reproduced as-is."""
+    def _resize(img: np.ndarray) -> np.ndarray:
+        H, W = img.shape[:2]
+        oh, ow = output_size
+        # bilinear via two 1-D interpolation passes (skimage-free);
+        # skimage.transform.resize uses half-pixel centres
+        ys = (np.arange(oh, dtype=np.float64) + 0.5) * H / oh - 0.5
+        xs = (np.arange(ow, dtype=np.float64) + 0.5) * W / ow - 0.5
+        ys, xs = np.clip(ys, 0, H - 1), np.clip(xs, 0, W - 1)
+        y0 = np.clip(np.floor(ys).astype(int), 0, H - 1)
+        y1 = np.clip(y0 + 1, 0, H - 1)
+        x0 = np.clip(np.floor(xs).astype(int), 0, W - 1)
+        x1 = np.clip(x0 + 1, 0, W - 1)
+        wy = (ys - y0)[:, None, None]
+        wx = (xs - x0)[None, :, None]
+        img = img.astype(np.float64)
+        top = img[y0][:, x0] * (1 - wx) + img[y0][:, x1] * wx
+        bot = img[y1][:, x0] * (1 - wx) + img[y1][:, x1] * wx
+        return (top * (1 - wy) + bot * wy).astype(np.float32)
+
+    for k in _IMG_KEYS:
+        sample[k] = _resize(sample[k])
+    if sample.get("gt_disp") is not None:
+        sample["gt_disp"] = sample["gt_disp"].astype(np.float32)
     return sample
 
 

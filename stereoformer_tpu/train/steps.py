@@ -103,7 +103,9 @@ def make_eval_step(
     Mirrors validate (trainer_DLC_GRU.py:246-280): forward at the
     (possibly resized) eval resolution, rescale the prediction back to
     the ground truth's native size with ``scale_disp`` (the ×W-ratio
-    disparity rescale), then masked EPE + P1.
+    disparity rescale), then masked EPE + P1.  The rescaled prediction is
+    returned under ``"pred"`` (a device array — it costs host bandwidth
+    only if the caller materialises it, e.g. for TensorBoard panels).
     """
 
     @functools.partial(jax.jit, static_argnums=())
@@ -122,6 +124,7 @@ def make_eval_step(
         return {
             "epe": losses.epe(pred, gt),
             "p1": thres_metric(pred, gt, losses.valid_mask(gt), 1.0),
+            "pred": pred,
         }
 
     return eval_step

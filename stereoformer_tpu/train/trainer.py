@@ -78,6 +78,7 @@ class DisparityTrainer:
         remat: bool = False,
         color_aug: bool = False,
         dtype: Optional[str] = None,
+        scale_size: Optional[tuple[int, int]] = None,
     ):
         self.lr = lr
         self.dataset = dataset
@@ -97,6 +98,7 @@ class DisparityTrainer:
         self.remat = remat
         self.color_aug = color_aug
         self.dtype = dtype
+        self.scale_size = scale_size
         self.current_lr = lr
         self.is_pretrain = False
 
@@ -121,13 +123,14 @@ class DisparityTrainer:
                 mode="val", seed=1,
             )
         else:
+            kw = {"scale_size": self.scale_size} if self.scale_size else {}
             self.train_set = StereoDataset(
                 self.datapath, self.trainlist, self.vallist,
-                dataset_name=self.dataset, mode="train",
+                dataset_name=self.dataset, mode="train", **kw,
             )
             self.val_set = StereoDataset(
                 self.datapath, self.trainlist, self.vallist,
-                dataset_name=self.dataset, mode="val",
+                dataset_name=self.dataset, mode="val", **kw,
             )
         crop = self.crop_size
         color = self.color_aug
@@ -297,6 +300,7 @@ class DisparityTrainer:
 
     def validate(self, summary_writer=None, epoch: int = 0):
         epes_m, p1_m, inf_t = AverageMeter(), AverageMeter(), AverageMeter()
+        logged_images = False
         for batch in self.val_loader:
             n = batch["img_left"].shape[0]          # true sample count
             if n < self.test_batch:
@@ -308,16 +312,34 @@ class DisparityTrainer:
                      if isinstance(v, np.ndarray)},
                     self.test_batch,
                 )
-            batch = self._device_batch(batch)
+            dev_batch = self._device_batch(batch)
             t0 = time.perf_counter()
-            metrics = jax.block_until_ready(self.eval_step(self.state, batch))
+            metrics = self.eval_step(self.state, dev_batch)
+            # float() is the only call that truly round-trips on the axon
+            # transport (block_until_ready returns at dispatch there), so
+            # the timed region ends at a scalar host sync.  The measured
+            # time includes one fixed ~32 ms transport round trip.
+            epe = float(metrics["epe"])
             dt = time.perf_counter() - t0
-            epe, p1 = float(metrics["epe"]), float(metrics["p1"])
+            p1 = float(metrics["p1"])
             if np.isfinite(epe):
                 epes_m.update(epe, n)
             if np.isfinite(p1):
                 p1_m.update(p1, n)
             inf_t.update(dt / n, n)
+            if summary_writer is not None and not logged_images:
+                # input / prediction / GT / KITTI-error panel for the first
+                # val sample (reference utils/devtools.py:59-74 image grids)
+                from ..utils.viz import tensorboard_disparity_images
+
+                tensorboard_disparity_images(
+                    summary_writer, "val",
+                    np.asarray(batch["img_left"][0]),
+                    np.asarray(metrics["pred"][0, ..., 0]),
+                    np.asarray(batch["gt_disp"][0, ..., 0]),
+                    epoch,
+                )
+                logged_images = True
         if summary_writer is not None:
             summary_writer.add_scalar("epe_on_val", epes_m.avg, epoch)
         logger.info(

@@ -209,3 +209,85 @@ def test_prefetch_to_device():
     assert isinstance(out[0]["img_left"], jax.Array)
     np.testing.assert_allclose(np.asarray(out[2]["img_left"]), 2.0)
     assert out[0]["left_name"] == ["x"]
+
+
+def test_gt_normal_rides_crop_pad_flip():
+    # reference transforms.py:35-95,149-150: gt_normal is cropped/padded/
+    # flipped exactly like disparity
+    rng = np.random.default_rng(0)
+    s = {
+        "img_left": np.ones((100, 200, 3), np.float32),
+        "img_right": np.ones((100, 200, 3), np.float32),
+        "gt_disp": np.ones((100, 200), np.float32),
+        "gt_normal": np.ones((100, 200, 3), np.float32),
+    }
+    out = data.random_crop(dict(s), 64, 128, rng)
+    assert out["gt_normal"].shape == (64, 128, 3)
+    out2 = data.random_crop(dict(s), 128, 256, rng)
+    assert out2["gt_normal"].shape == (128, 256, 3)
+    assert (out2["gt_normal"][:28] == 0).all()       # top pad
+    assert (out2["gt_normal"][:, 200:] == 0).all()   # right pad
+    # flip: find a seed where the flip branch triggers and check all keys
+    marked = dict(s)
+    marked["gt_normal"] = np.arange(100 * 200 * 3, dtype=np.float32).reshape(
+        100, 200, 3
+    )
+    marked["gt_disp"] = np.arange(100 * 200, dtype=np.float32).reshape(100, 200)
+    flipped = data.random_vertical_flip(
+        {k: v.copy() for k, v in marked.items()}, np.random.default_rng(1)
+    )
+    if (flipped["gt_disp"] != marked["gt_disp"]).any():
+        np.testing.assert_array_equal(
+            flipped["gt_normal"], np.flipud(marked["gt_normal"])
+        )
+
+
+def test_lighting_matches_reference_formula():
+    # torch re-implementation of preprocess.py:129-148 (per-channel add of
+    # eigvec @ (alpha * eigval)), same alpha draw
+    import torch
+
+    rng = np.random.default_rng(0)
+    alpha = rng.normal(0, 0.1, size=3).astype(np.float32)
+    img = np.random.RandomState(1).rand(8, 8, 3).astype(np.float32)
+    eigval = torch.tensor(data.transforms.IMAGENET_PCA_EIGVAL)
+    eigvec = torch.tensor(data.transforms.IMAGENET_PCA_EIGVEC)
+    a = torch.tensor(alpha)
+    rgb = (
+        eigvec.clone()
+        .mul(a.view(1, 3).expand(3, 3))
+        .mul(eigval.view(1, 3).expand(3, 3))
+        .sum(1)
+        .squeeze()
+    )
+    want = (
+        torch.from_numpy(img).permute(2, 0, 1)
+        + rgb.view(3, 1, 1).expand(3, 8, 8)
+    ).permute(1, 2, 0).numpy()
+
+    s = {"img_left": img.copy(), "img_right": img.copy()}
+    out = data.lighting(s, np.random.default_rng(0), alphastd=0.1)
+    np.testing.assert_allclose(out["img_left"], want, atol=1e-6)
+    np.testing.assert_allclose(out["img_right"], want, atol=1e-6)
+    # alphastd=0 is the identity (reference :139-140)
+    s2 = {"img_left": img.copy(), "img_right": img.copy()}
+    out2 = data.lighting(s2, np.random.default_rng(0), alphastd=0.0)
+    np.testing.assert_array_equal(out2["img_left"], img)
+
+
+def test_random_rescale():
+    img = np.random.RandomState(0).rand(20, 30, 3).astype(np.float32) * 255
+    disp = np.random.RandomState(1).rand(20, 30).astype(np.float64) * 50
+    s = {"img_left": img.copy(), "img_right": img.copy(), "gt_disp": disp.copy()}
+    out = data.random_rescale(s, (40, 60))
+    assert out["img_left"].shape == (40, 60, 3)
+    assert out["img_left"].dtype == np.float32
+    # constant image stays constant under bilinear resize
+    c = {"img_left": np.full((10, 10, 3), 7.0, np.float32),
+         "img_right": np.full((10, 10, 3), 7.0, np.float32),
+         "gt_disp": disp.copy()}
+    cout = data.random_rescale(c, (17, 23))
+    np.testing.assert_allclose(cout["img_left"], 7.0, rtol=1e-5)
+    # reference quirk (preprocess.py:246-250): disparity is cast, NOT resized
+    assert cout["gt_disp"].shape == (20, 30)
+    assert cout["gt_disp"].dtype == np.float32

@@ -1,0 +1,105 @@
+"""True multi-process coverage of parallel/distributed.py (VERDICT round-1
+item 6): two local processes × 2 virtual CPU devices each form a 4-device
+global mesh via ``jax.distributed.initialize``; the real
+``make_array_from_process_local_data`` branch of
+``global_batch_from_host_local`` assembles the global batch, and one
+psum'd train step must reproduce the single-process loss.
+
+Reference analogue: the actually-executed DataParallel
+(trainer_DLC_GRU.py:102-106), which averages over gathered per-GPU
+outputs — here the average is compiled in by SPMD."""
+
+import os
+import socket
+import subprocess
+import sys
+
+import numpy as np
+import pytest
+
+_WORKER = os.path.join(os.path.dirname(__file__), "_multihost_worker.py")
+
+
+def _free_port() -> int:
+    with socket.socket() as s:
+        s.bind(("localhost", 0))
+        return s.getsockname()[1]
+
+
+def _single_process_loss() -> float:
+    """The same step on the in-process 8-device mesh (conftest backend)."""
+    import jax
+    import jax.numpy as jnp
+    import optax
+
+    from stereoformer_tpu import parallel
+    from stereoformer_tpu.models import get_model
+    from stereoformer_tpu.train import TrainState, make_train_step
+
+    mesh = parallel.make_mesh(jax.devices()[:4])
+    model = get_model("LowCNN_gru", loop="scan")
+    H, W, B = 32, 64, 4
+    left = jnp.zeros((1, H, W, 3), jnp.float32)
+    variables = jax.jit(
+        lambda k, l: model.init(k, l, l, iters=1, train=False)
+    )(jax.random.PRNGKey(0), left)
+    tx = optax.amsgrad(1e-3)
+    state = TrainState(
+        step=jnp.asarray(0, jnp.int32),
+        params=variables["params"],
+        batch_stats=variables["batch_stats"],
+        opt_state=jax.jit(tx.init)(variables["params"]),
+    )
+    state = jax.tree_util.tree_map(
+        lambda x: jax.device_put(x, parallel.replicated(mesh)), state
+    )
+    rng = np.random.RandomState(0)
+    batch = parallel.shard_batch(
+        {
+            "img_left": rng.randn(B, H, W, 3).astype(np.float32),
+            "img_right": rng.randn(B, H, W, 3).astype(np.float32),
+            "gt_disp": np.abs(rng.randn(B, H, W, 1)).astype(np.float32) * 20,
+        },
+        mesh,
+    )
+    step = make_train_step(model, tx, "sequence", iters=2)
+    _, metrics = step(state, batch)
+    return float(metrics["loss"])
+
+
+def test_two_process_spmd_matches_single_process():
+    port = _free_port()
+    repo_root = os.path.dirname(os.path.dirname(_WORKER))
+    env = dict(os.environ)
+    env["PYTHONPATH"] = repo_root + os.pathsep + env.get("PYTHONPATH", "")
+    env["XLA_FLAGS"] = (
+        env.get("XLA_FLAGS", "").replace(
+            "--xla_force_host_platform_device_count=8", ""
+        )
+        + " --xla_force_host_platform_device_count=2"
+    ).strip()
+    env["JAX_PLATFORMS"] = "cpu"
+    procs = [
+        subprocess.Popen(
+            [sys.executable, _WORKER, str(pid), "2", str(port)],
+            stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True,
+            env=env, cwd=repo_root,
+        )
+        for pid in range(2)
+    ]
+    outs = []
+    for p in procs:
+        out, _ = p.communicate(timeout=900)
+        outs.append(out)
+    for p, out in zip(procs, outs):
+        assert p.returncode == 0, f"worker failed:\n{out}"
+    losses = []
+    for out in outs:
+        lines = [l for l in out.splitlines() if l.startswith("MULTIHOST_LOSS")]
+        assert lines, out
+        losses.append(float(lines[0].split()[2]))
+    # both hosts observe the same global loss
+    assert abs(losses[0] - losses[1]) < 1e-6, losses
+    # and it matches the single-process value on the same global batch
+    want = _single_process_loss()
+    assert abs(losses[0] - want) < 1e-4, (losses[0], want)
