@@ -19,13 +19,17 @@ batch-axis mean), so no axis_name plumbing is needed.
 
 from __future__ import annotations
 
-from typing import Sequence
+from typing import Optional, Sequence
 
 import jax
 import jax.numpy as jnp
 import flax.linen as nn
 
-from ..ops import modulated_deform_conv, resize_bilinear
+from ..ops import (
+    modulated_deform_conv,
+    modulated_deform_conv_windowed,
+    resize_bilinear,
+)
 
 he_normal = nn.initializers.he_normal
 
@@ -167,6 +171,13 @@ class DeformConv(nn.Module):
     op + matmul.  Replaces the reference's CUDA DCNv2 extension
     (modulated_deform_conv.py:68-103; kernel pipeline
     deform/src/cuda/modulated_deform_conv_cuda.cu:20-110).
+
+    ``window``: offsets clamped to a static ±window px range, enabling the
+    gather-free ``modulated_deform_conv_windowed`` form (measured 3.5-7.7×
+    faster on TPU v5e; see BENCHMARKS.md §deform).  Deliberate deviation —
+    the reference never clamps its (zero-initialised, small-in-practice)
+    offsets; ``window=None`` restores exact unbounded semantics through
+    the gather form.
     """
 
     features: int
@@ -174,6 +185,7 @@ class DeformConv(nn.Module):
     stride: int = 1
     padding: int = 1
     dilation: int = 1
+    window: Optional[int] = 2
     dtype: object = None
 
     @nn.compact
@@ -199,17 +211,31 @@ class DeformConv(nn.Module):
             "weight", he_normal(), (K * C, self.features), jnp.float32
         )
         bias = self.param("bias", nn.initializers.zeros, (self.features,), jnp.float32)
-        out = modulated_deform_conv(
-            x.astype(jnp.float32),
-            offsets,
-            mask,
-            weight,
-            bias,
-            kernel_size=k,
-            stride=self.stride,
-            padding=self.padding,
-            dilation=self.dilation,
-        )
+        if self.window is not None and self.stride == 1:
+            out = modulated_deform_conv_windowed(
+                x.astype(jnp.float32),
+                offsets,
+                mask,
+                weight,
+                bias,
+                kernel_size=k,
+                stride=self.stride,
+                padding=self.padding,
+                dilation=self.dilation,
+                window=self.window,
+            )
+        else:
+            out = modulated_deform_conv(
+                x.astype(jnp.float32),
+                offsets,
+                mask,
+                weight,
+                bias,
+                kernel_size=k,
+                stride=self.stride,
+                padding=self.padding,
+                dilation=self.dilation,
+            )
         return out if self.dtype is None else out.astype(self.dtype)
 
 

@@ -30,7 +30,12 @@ from .resize import resize_bilinear, scale_disp
 from .warp import disp_warp, lr_warp_error
 from .attention import banded_attention, banded_attention_scores
 from .corr1d import allpairs_corr1d, corr_lookup, corr_pyramid
-from .deform import bilinear_sample_2d, deform_columns, modulated_deform_conv
+from .deform import (
+    bilinear_sample_2d,
+    deform_columns,
+    modulated_deform_conv,
+    modulated_deform_conv_windowed,
+)
 from .deform_roi import deform_psroi_pool
 from .pad import InputPadder, forward_interpolate, gauss_blur
 
@@ -70,4 +75,5 @@ __all__ = [
     "bilinear_sample_2d",
     "deform_columns",
     "modulated_deform_conv",
+    "modulated_deform_conv_windowed",
 ]

@@ -143,3 +143,99 @@ def test_psroi_pool_vertical_gradient_feature():
     rois = jnp.array([[0, 0, 0, 15, 15]], jnp.float32)
     out = np.asarray(ops.deform_psroi_pool(feat, rois, None, pooled_size=4))[0, :, :, 0]
     assert (np.diff(out.mean(axis=1)) > 0).all()
+
+
+# --- windowed (gather-free) form and the Pallas fused kernel -----------------
+
+def _rand_case(B=2, H=13, W=17, C=8, Cout=6, scale=1.8, seed=0):
+    rng = np.random.RandomState(seed)
+    K = 9
+    x = jnp.asarray(rng.randn(B, H, W, C).astype(np.float32))
+    # offsets strictly inside the ±2 window, away from integers
+    off = jnp.asarray(rng.rand(B, H, W, K, 2).astype(np.float32) * 2 * scale
+                      - scale)
+    mask = jnp.asarray(rng.rand(B, H, W, K).astype(np.float32))
+    wgt = jnp.asarray(rng.randn(K * C, Cout).astype(np.float32) * 0.1)
+    return x, off, mask, wgt
+
+
+def test_windowed_matches_gather_value_and_grad():
+    """Within the ±window the dense hat form equals the gather form exactly
+    (module docstring deform.py; deviation only outside the window)."""
+    x, off, mask, wgt = _rand_case()
+
+    a = ops.modulated_deform_conv(x, off, mask, wgt)
+    b = ops.modulated_deform_conv_windowed(x, off, mask, wgt, window=2)
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=2e-5)
+
+    def fa(*args):
+        return jnp.sum(jnp.sin(ops.modulated_deform_conv(*args)))
+
+    def fb(*args):
+        return jnp.sum(jnp.sin(
+            ops.modulated_deform_conv_windowed(*args, window=2)))
+
+    ga = jax.grad(fa, argnums=(0, 1, 2, 3))(x, off, mask, wgt)
+    gb = jax.grad(fb, argnums=(0, 1, 2, 3))(x, off, mask, wgt)
+    for u, v in zip(ga, gb):
+        np.testing.assert_allclose(np.asarray(u), np.asarray(v), atol=5e-5)
+
+
+def test_windowed_dilation_and_padding():
+    x, off, mask, wgt = _rand_case()
+    a = ops.modulated_deform_conv(x, off, mask, wgt, padding=2, dilation=2)
+    b = ops.modulated_deform_conv_windowed(
+        x, off, mask, wgt, padding=2, dilation=2, window=2)
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=2e-5)
+
+
+def test_windowed_clamps_large_offsets():
+    """|offset| > window saturates at the window edge — the documented
+    deviation; the value must equal the gather form fed clamped offsets."""
+    x, off, mask, wgt = _rand_case(scale=5.0)
+    b = ops.modulated_deform_conv_windowed(x, off, mask, wgt, window=2)
+    a = ops.modulated_deform_conv(x, jnp.clip(off, -2, 2), mask, wgt)
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=2e-5)
+
+
+def test_pallas_deform_fused_matches_windowed():
+    """Interpret-mode parity of the fused kernel (value + all grads) against
+    the windowed XLA form, including uneven row tiles and dilation."""
+    from stereoformer_tpu.ops.pallas.deform_sample import deform_conv_fused
+
+    x, off, mask, wgt = _rand_case()
+    a = ops.modulated_deform_conv_windowed(x, off, mask, wgt, window=2)
+    b = deform_conv_fused(x, off, mask, wgt, 3, 1, 1, 2, 16, True)
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=2e-5)
+
+    def fa(*args):
+        return jnp.sum(jnp.sin(
+            ops.modulated_deform_conv_windowed(*args, window=2)))
+
+    def fb(*args):
+        return jnp.sum(jnp.sin(
+            deform_conv_fused(*args, 3, 1, 1, 2, 16, True)))
+
+    ga = jax.grad(fa, argnums=(0, 1, 2, 3))(x, off, mask, wgt)
+    gb = jax.grad(fb, argnums=(0, 1, 2, 3))(x, off, mask, wgt)
+    for u, v in zip(ga, gb):
+        np.testing.assert_allclose(np.asarray(u), np.asarray(v), atol=5e-5)
+
+    # dilation=2 + block_rows that do not divide Ho
+    c = deform_conv_fused(x, off, mask, wgt, 3, 2, 2, 2, 8, True)
+    cw = ops.modulated_deform_conv_windowed(
+        x, off, mask, wgt, padding=2, dilation=2, window=2)
+    np.testing.assert_allclose(np.asarray(c), np.asarray(cw), atol=2e-5)
+
+
+def test_deform_conv_module_windowed_default():
+    """DeformConv(window=2) at zero init equals the exact path (offsets 0)."""
+    from stereoformer_tpu.nn import DeformConv
+
+    rng = np.random.RandomState(0)
+    x = jnp.asarray(rng.randn(2, 12, 16, 8).astype(np.float32))
+    m = DeformConv(6)
+    v = m.init(jax.random.PRNGKey(0), x)
+    y = m.apply(v, x)
+    y0 = DeformConv(6, window=None).apply(v, x)
+    np.testing.assert_allclose(np.asarray(y), np.asarray(y0), atol=1e-5)
