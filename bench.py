@@ -1,10 +1,17 @@
 """Benchmark: stereo pairs/sec/chip, LowCNN_gru (12 GRU iterations) at the
 reference's evaluation resolution 576×960 (SceneflowLoader.py:124-130;
-per-image inference timing trainer_DLC_GRU.py:255-265).
+per-image inference timing trainer_DLC_GRU.py:255-265; test_batch=4|8 per
+trainer_DLC_GRU.py:46).
 
 Prints ONE JSON line:
   {"metric": "pairs_per_sec_per_chip", "value": N, "unit": "pairs/s",
    "vs_baseline": N, ...}
+
+The headline value is the bf16-activation eval path (params f32,
+probability/coordinate math f32 — the deployment configuration) and is
+only used if the bf16 disparities agree with the f32 path within 0.25 px
+mean absolute difference on the benchmark input; otherwise the f32
+number is reported.  Both appear in the record.
 
 vs_baseline: the reference publishes no numbers anywhere (BASELINE.md), so
 the denominator is an ASSUMED literature figure — RAFT-style 12-iteration
@@ -40,8 +47,9 @@ BASELINE_PAIRS_PER_SEC_GPU = 10.0  # assumed, not measured (see docstring)
 V5E_BF16_PEAK_TFLOPS = 197.0
 
 H, W = 576, 960
-BATCH = 4
+BATCH = int(os.environ.get("BENCH_BATCH", "8"))
 ITERS = 12
+BF16_AGREEMENT_PX = 0.25
 
 
 def _marker(cache_dir: str, mode: str) -> str:
@@ -63,55 +71,64 @@ def main():
     if mode not in ("unroll", "scan"):
         mode = "unroll" if os.path.exists(_marker(cache_dir, "unroll")) else "scan"
 
-    model = get_model("LowCNN_gru", loop=mode)
     _phase(f"imports done, mode={mode}, devices={jax.devices()}")
 
     rng = np.random.RandomState(0)
     left = jnp.asarray(rng.randn(BATCH, H, W, 3).astype(np.float32))
     right = jnp.asarray(rng.randn(BATCH, H, W, 3).astype(np.float32))
-    variables = jax.jit(
-        lambda l, r: model.init(jax.random.PRNGKey(0), l, r, iters=1, train=False)
-    )(left, right)
-    _phase("model init done")
 
-    def infer_fn(v, l, r):
-        # reduce to a scalar so the sync transfers 4 bytes, not the map
-        return jnp.sum(
-            model.apply(v, l, r, iters=ITERS, train=False)["disparities"][-1]
-        )
+    results = {}
+    disp_maps = {}
+    for dtype_name in ("f32", "bf16"):
+        kw = {"loop": mode}
+        if dtype_name == "bf16":
+            kw["dtype"] = jnp.bfloat16
+        model = get_model("LowCNN_gru", **kw)
+        variables = jax.jit(
+            lambda l, r: model.init(jax.random.PRNGKey(0), l, r, iters=1,
+                                    train=False)
+        )(left, right)
+        _phase(f"{dtype_name}: model init done")
 
-    compiled = jax.jit(infer_fn).lower(variables, left, right).compile()
-    _phase("infer compiled")
+        def infer_fn(v, l, r):
+            return model.apply(v, l, r, iters=ITERS, train=False)[
+                "disparities"][-1]
 
-    # FLOPs of the eval forward, from XLA's own cost model (may be
-    # unavailable on some PJRT transports — then flops fields are omitted)
-    flops_per_pair = None
-    try:
-        cost = compiled.cost_analysis()
-        if isinstance(cost, (list, tuple)):
-            cost = cost[0]
-        f = float(cost.get("flops", 0.0))
-        if f > 0:
-            flops_per_pair = f / BATCH
-    except Exception:
-        pass
-    _phase("cost analysis done")
+        compiled = jax.jit(infer_fn).lower(variables, left, right).compile()
+        _phase(f"{dtype_name}: infer compiled")
 
-    # warmup (float() forces a real host sync; block_until_ready does not
-    # round-trip through every PJRT transport)
-    float(compiled(variables, left, right))
-    _phase("warmup 1 done")
-    float(compiled(variables, left, right))
-    _phase("warmup 2 done")
+        # FLOPs of the eval forward, from XLA's own cost model (may be
+        # unavailable on some PJRT transports — then flops fields omitted)
+        flops_per_pair = None
+        try:
+            cost = compiled.cost_analysis()
+            if isinstance(cost, (list, tuple)):
+                cost = cost[0]
+            f = float(cost.get("flops", 0.0))
+            if f > 0:
+                flops_per_pair = f / BATCH
+        except Exception:
+            pass
 
-    # pipelined steady-state: dispatch all reps, sync once — the device
-    # queue serialises execution, so total/reps is true per-batch time
-    reps = 20
-    t0 = time.perf_counter()
-    outs = [compiled(variables, left, right) for _ in range(reps)]
-    float(outs[-1])
-    dt = time.perf_counter() - t0
-    pairs_per_sec = reps * BATCH / dt
+        # warmup (float() forces a real host sync; block_until_ready does
+        # not round-trip through every PJRT transport)
+        disp_maps[dtype_name] = np.asarray(compiled(variables, left, right))
+        _phase(f"{dtype_name}: warmup 1 done")
+        float(jnp.sum(compiled(variables, left, right)))
+        _phase(f"{dtype_name}: warmup 2 done")
+
+        # pipelined steady-state: dispatch all reps, sync once — the device
+        # queue serialises execution, so total/reps is true per-batch time
+        reps = 20
+        t0 = time.perf_counter()
+        outs = [compiled(variables, left, right) for _ in range(reps)]
+        float(jnp.sum(outs[-1]))
+        dt = time.perf_counter() - t0
+        results[dtype_name] = {
+            "pairs_per_sec": reps * BATCH / dt,
+            "flops_per_pair": flops_per_pair,
+        }
+        _phase(f"{dtype_name}: {results[dtype_name]['pairs_per_sec']:.1f} pairs/s")
 
     # mark this mode as compile-warm for future runs
     try:
@@ -120,6 +137,12 @@ def main():
     except OSError:
         pass
 
+    bf16_err = float(np.mean(np.abs(
+        disp_maps["bf16"].astype(np.float64) -
+        disp_maps["f32"].astype(np.float64))))
+    headline = "bf16" if bf16_err <= BF16_AGREEMENT_PX else "f32"
+    pairs_per_sec = results[headline]["pairs_per_sec"]
+
     record = {
         "metric": "pairs_per_sec_per_chip",
         "value": round(pairs_per_sec, 3),
@@ -127,10 +150,15 @@ def main():
         "vs_baseline": round(pairs_per_sec / BASELINE_PAIRS_PER_SEC_GPU, 3),
         "baseline": "assumed",
         "mode": mode,
+        "dtype": headline,
         "resolution": f"{H}x{W}",
         "batch": BATCH,
         "iters": ITERS,
+        "f32_pairs_per_sec": round(results["f32"]["pairs_per_sec"], 3),
+        "bf16_pairs_per_sec": round(results["bf16"]["pairs_per_sec"], 3),
+        "bf16_vs_f32_mean_abs_disp_px": round(bf16_err, 4),
     }
+    flops_per_pair = results[headline]["flops_per_pair"]
     if flops_per_pair is not None:
         achieved_tflops = flops_per_pair * pairs_per_sec / 1e12
         record["gflop_per_pair"] = round(flops_per_pair / 1e9, 1)

@@ -48,24 +48,34 @@ class FlowHead(nn.Module):
 
 class ContextConvGRU(nn.Module):
     """ConvGRU whose z/r/q gates each get a context bias map
-    (update.py:16-33)."""
+    (update.py:16-33).  The z/r gate convs over the shared ``[h, x]``
+    input are fused into one 2·hidden conv (bit-identical math; per-gate
+    he_out init preserved via ``stacked_init`` — see nn/gru.py)."""
 
     hidden_dim: int
     kernel_size: int = 3
 
     @nn.compact
     def __call__(self, h, context, *inputs):
+        from ..gru import stacked_init
+
         cz, cr, cq = context
         x = jnp.concatenate(inputs, axis=-1)
         hx = jnp.concatenate([h, x], axis=-1)
         k = self.kernel_size
-        conv = lambda name: nn.Conv(
-            self.hidden_dim, (k, k), padding=k // 2,
-            kernel_init=he_out(), name=name,
+        zr = nn.Conv(
+            2 * self.hidden_dim, (k, k), padding=k // 2,
+            kernel_init=stacked_init(he_out(), 2), name="convzr",
+        )(hx)
+        z = nn.sigmoid(zr[..., : self.hidden_dim] + cz)
+        r = nn.sigmoid(zr[..., self.hidden_dim :] + cr)
+        q = nn.tanh(
+            nn.Conv(self.hidden_dim, (k, k), padding=k // 2,
+                    kernel_init=he_out(), name="convq")(
+                jnp.concatenate([r * h, x], axis=-1)
+            )
+            + cq
         )
-        z = nn.sigmoid(conv("convz")(hx) + cz)
-        r = nn.sigmoid(conv("convr")(hx) + cr)
-        q = nn.tanh(conv("convq")(jnp.concatenate([r * h, x], axis=-1)) + cq)
         return (1 - z) * h + z * q
 
 
