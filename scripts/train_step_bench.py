@@ -20,8 +20,12 @@ from stereoformer_tpu.train import TrainState, make_train_step
 
 B, H, W, ITERS = 4, 320, 640, 12
 MODE = sys.argv[1] if len(sys.argv) > 1 else "unroll"
+DTYPE = sys.argv[2] if len(sys.argv) > 2 else "f32"
 
-model = get_model("LowCNN_gru", loop=MODE)
+kw = {"loop": MODE}
+if DTYPE == "bf16":
+    kw["dtype"] = jnp.bfloat16
+model = get_model("LowCNN_gru", **kw)
 rng = np.random.RandomState(0)
 left = jnp.asarray(rng.randn(B, H, W, 3).astype(np.float32))
 right = jnp.asarray(rng.randn(B, H, W, 3).astype(np.float32))
@@ -42,7 +46,7 @@ batch = {"img_left": left, "img_right": right, "gt_disp": gt}
 
 t0 = time.perf_counter()
 state, metrics = step_fn(state, batch)
-print(f"[{MODE}] cold compile+step {time.perf_counter()-t0:.0f}s "
+print(f"[{MODE} {DTYPE}] cold compile+step {time.perf_counter()-t0:.0f}s "
       f"loss={float(metrics['loss']):.3f}", flush=True)
 
 reps = 30
@@ -51,5 +55,5 @@ for _ in range(reps):
     state, metrics = step_fn(state, batch)
 float(metrics["loss"])
 dt = time.perf_counter() - t0
-print(f"[{MODE}] {1e3*dt/reps:.1f} ms/step  {reps*B/dt:.1f} pairs/s "
+print(f"[{MODE} {DTYPE}] {1e3*dt/reps:.1f} ms/step  {reps*B/dt:.1f} pairs/s "
       f"loss={float(metrics['loss']):.3f}", flush=True)
