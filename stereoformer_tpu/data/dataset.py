@@ -194,6 +194,17 @@ class DummyStereoDataset:
         self.seed = seed
         self.img_size = (height, width)
         self.scale_size = (height, width)
+        # per-index generation is deterministic (rng seeded by index only),
+        # so raw samples can be cached across epochs — the loader's
+        # per-(seed, epoch, index) augmentation RNG still varies.  Capped
+        # (≈8 MB per 384×768 sample); thread-safe under the GIL (worst
+        # case a sample is generated twice).
+        self._cache: dict = {}
+        self._cache_max = min(
+            length, int(os.environ.get("DUMMY_CACHE_SAMPLES", "192"))
+        )
+        yy, xx = np.mgrid[: self.h, : self.w].astype(np.float32)
+        self._yy, self._xx = yy, xx
 
     def __len__(self):
         return self.length
@@ -201,9 +212,9 @@ class DummyStereoDataset:
     def _texture(self, rng):
         # smooth multi-scale random texture, 0..255
         img = np.zeros((self.h, self.w), np.float32)
+        yy, xx = self._yy, self._xx
         for period in (7, 17, 41, 97):
             phase = rng.uniform(0, 2 * np.pi, (2,))
-            yy, xx = np.mgrid[: self.h, : self.w].astype(np.float32)
             img += rng.uniform(0.5, 1.0) * (
                 np.sin(2 * np.pi * xx / period + phase[0])
                 * np.sin(2 * np.pi * yy / period + phase[1])
@@ -212,12 +223,12 @@ class DummyStereoDataset:
         img *= 255.0 / max(img.max(), 1e-6)
         return np.repeat(img[..., None], 3, axis=-1)
 
-    def __getitem__(self, index: int) -> dict:
+    def _generate(self, index: int) -> dict:
         rng = np.random.default_rng(self.seed * 100003 + index)
         left = self._texture(rng)
         # smooth disparity field in [4, max_disp]
         cy, cx = rng.uniform(0.2, 0.8, 2)
-        yy, xx = np.mgrid[: self.h, : self.w].astype(np.float32)
+        yy, xx = self._yy, self._xx
         r = np.sqrt(((yy / self.h) - cy) ** 2 + ((xx / self.w) - cx) ** 2)
         disp = 4.0 + (self.max_disp - 4.0) * np.exp(-4.0 * r * r)
         # right(x) = left(x + disp): sample left at x + d
@@ -227,11 +238,20 @@ class DummyStereoDataset:
         t = (src - x0)[..., None]
         rows = np.arange(self.h)[:, None]
         right = left[rows, x0] * (1 - t) + left[rows, x1] * t
-        sample = {
+        return {
             "img_left": left.astype(np.float32),
             "img_right": right.astype(np.float32),
             "gt_disp": disp.astype(np.float32),
         }
+
+    def __getitem__(self, index: int) -> dict:
+        raw = self._cache.get(index)
+        if raw is None:
+            raw = self._generate(index)
+            if len(self._cache) < self._cache_max:
+                self._cache[index] = raw
+        # hand out copies: downstream transforms may mutate in place
+        sample = {k: v.copy() for k, v in raw.items()}
         if self.transform is not None:
             sample = self.transform(sample)
         return sample

@@ -92,6 +92,24 @@ def test_dummy_dataset_consistency():
     assert np.mean(err) < 1e-3
 
 
+def test_dummy_dataset_cache_bit_identical_and_isolated():
+    """The cross-epoch sample cache must (a) return bit-identical values
+    to a cache-cold dataset and (b) hand out private copies so in-place
+    transform mutation cannot corrupt later epochs."""
+    a = data.DummyStereoDataset(length=2, height=32, width=64, max_disp=8)
+    b = data.DummyStereoDataset(length=2, height=32, width=64, max_disp=8)
+    warm = a[1]       # populates a's cache
+    warm2 = a[1]      # cache hit
+    cold = b[1]       # fresh generation
+    for k in ("img_left", "img_right", "gt_disp"):
+        np.testing.assert_array_equal(warm[k], cold[k])
+        np.testing.assert_array_equal(warm2[k], cold[k])
+    # mutate the returned arrays; the cache must be unaffected
+    warm["img_left"][:] = -1.0
+    again = a[1]
+    np.testing.assert_array_equal(again["img_left"], cold["img_left"])
+
+
 def test_list_file_dataset(tmp_path):
     # build a tiny on-disk dataset in the reference list-file format
     from PIL import Image
