@@ -4,6 +4,7 @@ checkpoints."""
 from .checkpoint import (
     finalize_checkpoints,
     latest_checkpoint,
+    migrate_gate_fusion,
     restore_checkpoint,
     restore_params,
     save_checkpoint,
@@ -27,6 +28,7 @@ __all__ = [
     "finalize_checkpoints",
     "latest_checkpoint",
     "restore_checkpoint",
+    "migrate_gate_fusion",
     "restore_params",
     "save_checkpoint",
     "make_step_schedule",

@@ -118,16 +118,53 @@ def restore_checkpoint(path: str, target: TrainState) -> TrainState:
     return cp.restore(os.path.abspath(path), item=target)
 
 
+def migrate_gate_fusion(tree):
+    """Rewrite unfused-GRU-gate checkpoints into the fused layout.
+
+    Round 2 fused each GRU cell's two same-input gate convs into one
+    double-width conv (nn/gru.py: conv_z+conv_b → conv_zb with z in the
+    first half; nn/raft/update.py: convz{,1,2}+convr{,1,2} → convzr*).
+    The fused kernel/bias is exactly the channel-concatenation of the
+    unfused pair, so older checkpoints load losslessly.  Works on any
+    pytree whose dict nodes use the gate names — params and optimizer
+    moments alike.  Identity on already-fused trees."""
+    import jax.numpy as jnp
+
+    pairs = (
+        ("conv_z", "conv_b", "conv_zb"),
+        ("convz", "convr", "convzr"),
+        ("convz1", "convr1", "convzr1"),
+        ("convz2", "convr2", "convzr2"),
+    )
+
+    def merge(a, b):
+        if isinstance(a, dict):
+            return {k: merge(a[k], b[k]) for k in a}
+        return jnp.concatenate([jnp.asarray(a), jnp.asarray(b)], axis=-1)
+
+    def rec(node):
+        if not isinstance(node, dict):
+            return node
+        out = {k: rec(v) for k, v in node.items()}
+        for za, zb, fused in pairs:
+            if za in out and zb in out and fused not in out:
+                out[fused] = merge(out.pop(za), out.pop(zb))
+        return out
+
+    return rec(tree)
+
+
 def restore_params(path: str, target: TrainState) -> TrainState:
     """Restore only step/params/batch_stats, keeping ``target``'s optimizer
     state — for evaluation/analysis or when the optimizer configuration
     changed between save and load (mirrors the reference's state_dict-only
-    loading, utils/utils.py:73-100)."""
+    loading, utils/utils.py:73-100).  Pre-round-2 unfused-gate checkpoints
+    are migrated transparently (``migrate_gate_fusion``)."""
     cp = _checkpointer()
     raw = cp.restore(os.path.abspath(path))
     return TrainState(
         step=raw["step"],
-        params=raw["params"],
+        params=migrate_gate_fusion(raw["params"]),
         batch_stats=raw["batch_stats"],
         opt_state=target.opt_state,
     )

@@ -106,6 +106,50 @@ def test_context_convgru_fused_equals_unfused():
     np.testing.assert_array_equal(np.asarray(out), np.asarray(ref))
 
 
+def test_migrate_gate_fusion_roundtrip():
+    """A pre-round-2 checkpoint (separate conv_z/conv_b, convz*/convr*)
+    must migrate losslessly into the fused layout, including nested
+    optimizer-moment-style trees."""
+    from stereoformer_tpu.train import migrate_gate_fusion
+
+    hid = 8
+    cell = ConvGRU(hidden_dim=hid)
+    x = jnp.ones((1, 4, 4, 6))
+    params = cell.init(jax.random.PRNGKey(0), x, None)["params"]
+
+    # synthesize the legacy layout by splitting the fused conv
+    def split(tree):
+        zb = tree.pop("conv_zb")
+        tree["conv_z"] = {k: v[..., :hid] for k, v in zb.items()}
+        tree["conv_b"] = {k: v[..., hid:] for k, v in zb.items()}
+        return tree
+
+    legacy = split(dict(params))
+    migrated = migrate_gate_fusion({"wrap": legacy})["wrap"]
+    assert set(migrated) == set(params)
+    for a, b in zip(jax.tree_util.tree_leaves(migrated),
+                    jax.tree_util.tree_leaves(params)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    out = cell.apply({"params": migrated}, x, None)
+    ref = cell.apply({"params": params}, x, None)
+    np.testing.assert_array_equal(np.asarray(out), np.asarray(ref))
+
+    # SepConvGRU per-direction names and raw-array leaves (opt-state style)
+    leg = {
+        "convz1": np.ones((3, 4)), "convr1": np.zeros((3, 4)),
+        "convq1": np.ones((3, 4)),
+        "convz": np.full((2,), 2.0), "convr": np.full((2,), 3.0),
+    }
+    m = migrate_gate_fusion(leg)
+    assert set(m) == {"convzr1", "convq1", "convzr"}
+    assert m["convzr1"].shape == (3, 8)
+    np.testing.assert_array_equal(np.asarray(m["convzr"]),
+                                  np.asarray([2.0, 2.0, 3.0, 3.0]))
+    # identity on already-fused trees
+    again = migrate_gate_fusion(m)
+    assert set(again) == set(m)
+
+
 def test_stacked_orthogonal_slices_are_orthogonal():
     # each fused-kernel slice must itself be orthogonal (reference init
     # semantics: orthogonal per gate, Attempts/update.py:22-28)
