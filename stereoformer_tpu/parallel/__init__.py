@@ -80,3 +80,9 @@ def pad_batch_to(batch: dict, size: int) -> dict:
         else:
             out[k] = v
     return out
+
+
+from .wshard import (  # noqa: E402  (W-sharded pipeline, see wshard.py)
+    correlation_volume_wsharded,
+    make_wsharded_initial_disparity,
+)

@@ -1,0 +1,129 @@
+"""Width-sharded (image-W) cost-volume pipeline — the long-context
+analogue for stereo.
+
+The reference has no sequence parallelism (SURVEY §5: the workload's
+"length" axes are image width W and disparity range D; correlation is
+all-pairs along W, corr.py:104-111).  This module makes that scaling axis
+real on a TPU mesh: the epipolar correlation band
+
+    out[b, h, w, d] = mean_c  left[b,h,w,c] * right[b,h,w-d,c]   (0 if w<d)
+
+only ever looks *leftward* up to D−1 columns, so a W-sharded layout needs
+exactly ONE halo exchange — each device receives its left neighbor's last
+D−1 right-feature columns via a non-circular ``lax.ppermute`` riding the
+ICI (device 0's missing source arrives as zeros, which reproduces the
+unsharded w<d zero band exactly).  Everything downstream — soft-argmin,
+candidate generation and the local cost-volume resampling
+(Attempts/update.py:326-345 semantics) — is W-local, so the whole
+initial-disparity + local-refinement pipeline runs sharded with one
+collective total.
+
+This is ring-attention-shaped communication (neighbor halo instead of
+all-gather) as sketched in ops/corr1d.py; values are bit-identical to the
+unsharded ops (tested on the virtual 8-device mesh).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from ..ops import fixed_local_cost_volume, soft_argmin
+
+
+def _band_local(left: jnp.ndarray, right_ext: jnp.ndarray,
+                max_disp: int) -> jnp.ndarray:
+    """Correlation band for a W-slab given a left-extended right block.
+
+    left: [B, H, Ws, C]; right_ext: [B, H, Ws + D − 1, C] whose first
+    D−1 columns are the halo (global columns w0−D+1 … w0−1).  Returns
+    [B, H, Ws, D] with out[..., w, d] = mean_c l[w]·r_ext[w + D−1 − d]
+    — a rectangular one-hot selector einsum (gather-free, MXU-ridden;
+    see ops/cost_volume.py:_band_from_square for why not take_along_axis).
+    """
+    C = left.shape[-1]
+    D = max_disp
+    Ws = left.shape[2]
+    sim = jnp.einsum(
+        "bhwc,bhvc->bhwv", left, right_ext,
+        preferred_element_type=jnp.float32,
+    ) / jnp.asarray(C, left.dtype)                     # [B, H, Ws, Ws+D-1]
+    w_idx = jnp.arange(Ws)[:, None, None]              # [Ws, 1, 1]
+    v_idx = jnp.arange(Ws + D - 1)[None, :, None]      # [1, Ws+D-1, 1]
+    d_idx = jnp.arange(D)[None, None, :]               # [1, 1, D]
+    selector = (w_idx + D - 1 - v_idx == d_idx).astype(sim.dtype)
+    return jnp.einsum(
+        "bhwv,wvd->bhwd", sim, selector,
+        preferred_element_type=jnp.float32,
+    ).astype(left.dtype)
+
+
+def _halo_from_left(x: jnp.ndarray, halo: int, axis_name: str) -> jnp.ndarray:
+    """Send each device's last ``halo`` W-columns to its right neighbor.
+
+    Non-circular: device 0 receives zeros (ppermute semantics for an
+    index with no source) — exactly the unsharded out-of-range band.
+    """
+    n = jax.lax.axis_size(axis_name)
+    tail = x[:, :, -halo:, :]
+    return jax.lax.ppermute(
+        tail, axis_name, perm=[(i, i + 1) for i in range(n - 1)]
+    )
+
+
+def correlation_volume_wsharded(
+    left: jnp.ndarray, right: jnp.ndarray, max_disp: int, axis_name: str
+) -> jnp.ndarray:
+    """W-sharded correlation volume; call INSIDE shard_map with the W axis
+    of ``left``/``right`` partitioned over ``axis_name``.
+
+    Per-shard inputs [B, H, Ws, C] → per-shard volume [B, H, Ws, D].
+    One ppermute halo exchange; the contraction itself is local MXU work.
+    """
+    halo = _halo_from_left(right, max_disp - 1, axis_name)
+    right_ext = jnp.concatenate([halo, right], axis=2)
+    return _band_local(left, right_ext, max_disp)
+
+
+def make_wsharded_initial_disparity(
+    mesh: Mesh,
+    max_disp: int,
+    axis_name: str = "data",
+    radius: float = 2.0,
+    num_samples: int = 20,
+):
+    """Jitted W-sharded pipeline: features → correlation volume →
+    soft-argmin → fixed-radius local refinement (baseline.py:38 semantics).
+
+    Features stay sharded on W end-to-end (spec ``P(None, None, axis)``);
+    the returned disparities are sharded the same way.  Use when a single
+    pair's W at full resolution exceeds one chip's HBM/compute budget —
+    the stereo analogue of context parallelism.
+    """
+
+    def per_shard(fl, fr):
+        vol = correlation_volume_wsharded(fl, fr, max_disp, axis_name)
+        disp0 = soft_argmin(vol.astype(jnp.float32))[..., None]
+        refined = fixed_local_cost_volume(
+            vol.astype(jnp.float32), disp0, radius, num_samples,
+            consider_valid=True,
+        )
+        return disp0, refined
+
+    spec = P(None, None, axis_name, None)
+    fn = jax.jit(
+        jax.shard_map(
+            per_shard, mesh=mesh, in_specs=(spec, spec),
+            out_specs=(spec, spec),
+        )
+    )
+
+    def run(feat_l, feat_r):
+        sharding = NamedSharding(mesh, spec)
+        return fn(jax.device_put(feat_l, sharding),
+                  jax.device_put(feat_r, sharding))
+
+    return run

@@ -52,3 +52,62 @@ def test_pad_batch_to():
     out = parallel.pad_batch_to(batch, 8)
     assert out["x"].shape == (8, 2)
     assert (out["x"][3:] == 0).all()
+
+
+# --- W-sharded cost-volume pipeline (parallel/wshard.py) ---------------------
+
+
+def test_wsharded_correlation_bit_parity():
+    """W-sharded correlation band + soft-argmin + fixed local refinement
+    must reproduce the unsharded ops exactly (incl. the w<d zero band at
+    device 0 and across every shard boundary)."""
+    from stereoformer_tpu import ops
+    from stereoformer_tpu.parallel.wshard import (
+        make_wsharded_initial_disparity,
+    )
+
+    B, H, W, C, D = 2, 6, 64, 16, 8   # 8 devices -> Ws=8 (= D, halo crosses)
+    rng = np.random.RandomState(0)
+    fl = rng.randn(B, H, W, C).astype(np.float32)
+    fr = rng.randn(B, H, W, C).astype(np.float32)
+
+    vol_ref = ops.correlation_volume(jnp.asarray(fl), jnp.asarray(fr), D)
+    disp_ref = ops.soft_argmin(vol_ref.astype(jnp.float32))[..., None]
+    refined_ref = ops.fixed_local_cost_volume(
+        vol_ref.astype(jnp.float32), disp_ref, 2.0, 20, consider_valid=True
+    )
+
+    mesh = parallel.make_mesh()
+    run = make_wsharded_initial_disparity(mesh, D)
+    disp0, refined = run(jnp.asarray(fl), jnp.asarray(fr))
+    assert len(disp0.addressable_shards) == 8
+    np.testing.assert_allclose(
+        np.asarray(disp0), np.asarray(disp_ref), rtol=0, atol=1e-5
+    )
+    np.testing.assert_allclose(
+        np.asarray(refined), np.asarray(refined_ref), rtol=0, atol=1e-5
+    )
+
+
+def test_wsharded_volume_matches_unsharded_volume():
+    from stereoformer_tpu import ops
+    from stereoformer_tpu.parallel.wshard import correlation_volume_wsharded
+    from jax.sharding import PartitionSpec as P
+
+    B, H, W, C, D = 1, 4, 40, 8, 6
+    rng = np.random.RandomState(1)
+    fl = jnp.asarray(rng.randn(B, H, W, C).astype(np.float32))
+    fr = jnp.asarray(rng.randn(B, H, W, C).astype(np.float32))
+    mesh = parallel.make_mesh()
+    spec = P(None, None, "data", None)
+    fn = jax.jit(jax.shard_map(
+        lambda l, r: correlation_volume_wsharded(l, r, D, "data"),
+        mesh=mesh, in_specs=(spec, spec), out_specs=spec,
+    ))
+    vol = fn(fl, fr)
+    ref = ops.correlation_volume(fl, fr, D)
+    np.testing.assert_allclose(np.asarray(vol), np.asarray(ref), atol=1e-6)
+    # the zero band: w < d strictly zero on the sharded path too
+    v = np.asarray(vol)
+    for d in range(1, D):
+        assert np.all(v[:, :, :d, d] == 0.0)
