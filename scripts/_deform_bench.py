@@ -36,11 +36,6 @@ def bench(B, H, W, C, Cout, reps=50):
     print(f"XLA deform B={B} {H}x{W} C={C}->{Cout}: {dt*1e3:.3f} ms")
 
 
-if __name__ == "__main__":
-    bench(4, 72, 120, 64, 64)
-    bench(4, 144, 240, 32, 128)
-
-
 def bench_windowed(B, H, W, C, Cout, window=2, reps=50):
     import jax
     import jax.numpy as jnp
@@ -60,3 +55,10 @@ def bench_windowed(B, H, W, C, Cout, window=2, reps=50):
     float(outs[-1])
     dt = (time.perf_counter() - t0) / reps
     print(f"XLA windowed(R={window}) B={B} {H}x{W} C={C}->{Cout}: {dt*1e3:.3f} ms")
+
+
+if __name__ == "__main__":
+    bench(4, 72, 120, 64, 64)
+    bench(4, 144, 240, 32, 128)
+    bench_windowed(4, 72, 120, 64, 64)
+    bench_windowed(4, 144, 240, 32, 128)

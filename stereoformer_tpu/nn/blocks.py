@@ -211,6 +211,14 @@ class DeformConv(nn.Module):
             "weight", he_normal(), (K * C, self.features), jnp.float32
         )
         bias = self.param("bias", nn.initializers.zeros, (self.features,), jnp.float32)
+        if self.window is not None and self.stride != 1:
+            # the windowed dense form is formulated for stride 1; falling
+            # back silently would change numerics vs the stride-1 blocks
+            raise ValueError(
+                "DeformConv: window-clamped form supports stride=1 only; "
+                "pass window=None for strided deformable convs (exact "
+                "unbounded gather semantics)."
+            )
         if self.window is not None and self.stride == 1:
             out = modulated_deform_conv_windowed(
                 x.astype(jnp.float32),

@@ -3,6 +3,7 @@
 CPU, compiled on TPU)."""
 
 from .corr_band import corr_band
+from .deform_sample import deform_conv_fused
 from .local_refine import fused_local_soft_argmin
 
-__all__ = ["corr_band", "fused_local_soft_argmin"]
+__all__ = ["corr_band", "deform_conv_fused", "fused_local_soft_argmin"]

@@ -68,7 +68,7 @@ def _halo_from_left(x: jnp.ndarray, halo: int, axis_name: str) -> jnp.ndarray:
     index with no source) — exactly the unsharded out-of-range band.
     """
     n = jax.lax.axis_size(axis_name)
-    tail = x[:, :, -halo:, :]
+    tail = x[:, :, x.shape[2] - halo :, :]
     return jax.lax.ppermute(
         tail, axis_name, perm=[(i, i + 1) for i in range(n - 1)]
     )
@@ -82,7 +82,19 @@ def correlation_volume_wsharded(
 
     Per-shard inputs [B, H, Ws, C] → per-shard volume [B, H, Ws, D].
     One ppermute halo exchange; the contraction itself is local MXU work.
+
+    Requires a shard width Ws ≥ D−1 (the halo reaches at most one
+    neighbor; use fewer devices along ``axis_name`` for very small W).
     """
+    Ws = right.shape[2]
+    if Ws < max_disp - 1:
+        raise ValueError(
+            f"W shard width {Ws} < max_disp-1 = {max_disp - 1}: the "
+            f"correlation halo would span more than one neighbor device. "
+            f"Shard W over fewer devices (need Ws >= {max_disp - 1})."
+        )
+    if max_disp <= 1:
+        return _band_local(left, right, max_disp)
     halo = _halo_from_left(right, max_disp - 1, axis_name)
     right_ext = jnp.concatenate([halo, right], axis=2)
     return _band_local(left, right_ext, max_disp)

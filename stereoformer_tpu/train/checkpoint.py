@@ -113,9 +113,55 @@ def save_checkpoint(
 
 
 def restore_checkpoint(path: str, target: TrainState) -> TrainState:
-    """Restore into the shape/dtype structure of ``target``."""
+    """Restore into the shape/dtype structure of ``target``.
+
+    Pre-round-2 checkpoints (unfused GRU gate convs) fail the structure
+    match; they are raw-restored and migrated — params, batch_stats AND
+    amsgrad moments — via ``migrate_gate_fusion``, so ``--pretrain`` /
+    ``--resume`` from an old checkpoint continues training losslessly
+    instead of silently starting fresh."""
+    import jax
+
     cp = _checkpointer()
-    return cp.restore(os.path.abspath(path), item=target)
+    try:
+        return cp.restore(os.path.abspath(path), item=target)
+    except Exception:
+        pass  # structure mismatch — try the legacy-layout migration
+    raw = cp.restore(os.path.abspath(path))
+    migrated = {
+        "step": raw["step"],
+        "params": migrate_gate_fusion(raw["params"]),
+        "batch_stats": raw["batch_stats"],
+        "opt_state": migrate_gate_fusion(raw["opt_state"]),
+    }
+    out = {}
+    for field in ("params", "batch_stats", "opt_state"):
+        tgt = getattr(target, field)
+        tdef = jax.tree_util.tree_structure(tgt)
+        leaves = jax.tree_util.tree_leaves(migrated[field])
+        tleaves = jax.tree_util.tree_leaves(tgt)
+        shapes = [getattr(l, "shape", ()) for l in leaves]
+        tshapes = [getattr(l, "shape", ()) for l in tleaves]
+        if shapes != tshapes:
+            raise ValueError(
+                f"checkpoint {path!r} does not match the model even after "
+                f"gate-fusion migration ({field}: {len(leaves)} leaves "
+                f"vs target {len(tleaves)}; first shape mismatch at "
+                f"{next((i for i, (a, b) in enumerate(zip(shapes, tshapes)) if a != b), 'count')})"
+            )
+        out[field] = jax.tree_util.tree_unflatten(tdef, leaves)
+    return TrainState(
+        step=jnp_asarray_like(raw["step"], target.step),
+        params=out["params"],
+        batch_stats=out["batch_stats"],
+        opt_state=out["opt_state"],
+    )
+
+
+def jnp_asarray_like(x, like):
+    import jax.numpy as jnp
+
+    return jnp.asarray(x, getattr(like, "dtype", None))
 
 
 def migrate_gate_fusion(tree):
@@ -143,6 +189,13 @@ def migrate_gate_fusion(tree):
         return jnp.concatenate([jnp.asarray(a), jnp.asarray(b)], axis=-1)
 
     def rec(node):
+        if isinstance(node, (list, tuple)):
+            # optimizer chains/namedtuple states (raw orbax restores
+            # tuples as lists) — recurse, preserving the container type
+            vals = [rec(v) for v in node]
+            if isinstance(node, tuple) and hasattr(node, "_fields"):
+                return type(node)(*vals)
+            return type(node)(vals) if isinstance(node, list) else tuple(vals)
         if not isinstance(node, dict):
             return node
         out = {k: rec(v) for k, v in node.items()}

@@ -169,3 +169,74 @@ def test_stacked_init_matches_base_distribution():
     expect = np.sqrt(2.0 / (3 * 3 * 32))
     for sl in (k[..., :32], k[..., 32:]):
         assert abs(float(jnp.std(sl)) - expect) / expect < 0.1
+
+
+def test_restore_checkpoint_migrates_legacy_layout(tmp_path):
+    """A pre-fusion checkpoint (split conv_z/conv_b in params AND amsgrad
+    moments) must restore through restore_checkpoint into the fused
+    target losslessly — the --pretrain/--resume path, not just
+    restore_params."""
+    import optax
+
+    from stereoformer_tpu.train import TrainState
+    from stereoformer_tpu.train.checkpoint import (
+        restore_checkpoint, save_checkpoint, finalize_checkpoints,
+    )
+
+    hid = 4
+    cell = ConvGRU(hidden_dim=hid)
+    x = jnp.ones((1, 4, 4, 6))
+    params = cell.init(jax.random.PRNGKey(0), x, None)["params"]
+    tx = optax.amsgrad(1e-3)
+    fused = TrainState(
+        step=jnp.asarray(7, jnp.int32), params=params, batch_stats={},
+        opt_state=tx.init(params),
+    )
+
+    def split(tree):
+        if not isinstance(tree, dict):
+            return tree
+        out = {}
+        for k, v in tree.items():
+            if k == "conv_zb":
+                out["conv_z"] = {kk: vv[..., :hid] for kk, vv in v.items()}
+                out["conv_b"] = {kk: vv[..., hid:] for kk, vv in v.items()}
+            else:
+                out[k] = split(v)
+        return out
+
+    legacy = TrainState(
+        step=fused.step,
+        params=split(params),
+        batch_stats={},
+        opt_state=_split_opt(fused.opt_state, split),
+    )
+    path = save_checkpoint(str(tmp_path), legacy, "legacy", 0, 0, 1.0,
+                           is_best=False, use_async=False)
+    finalize_checkpoints()
+
+    restored = restore_checkpoint(path, fused)
+    assert int(restored.step) == 7
+    for a, b in zip(jax.tree_util.tree_leaves(restored.params),
+                    jax.tree_util.tree_leaves(fused.params)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    for a, b in zip(jax.tree_util.tree_leaves(restored.opt_state),
+                    jax.tree_util.tree_leaves(fused.opt_state)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    # and the restored state is consumable: one optimizer update runs
+    import optax as _ox
+    g = jax.tree_util.tree_map(jnp.ones_like, fused.params)
+    _ox.amsgrad(1e-3).update(g, restored.opt_state, restored.params)
+
+
+def _split_opt(opt_state, split):
+    """Apply the param-tree split inside each amsgrad moment tree."""
+    def rec(node):
+        if isinstance(node, dict):
+            return split(node)
+        if isinstance(node, tuple) and hasattr(node, "_fields"):
+            return type(node)(**{f: rec(getattr(node, f)) for f in node._fields})
+        if isinstance(node, tuple):
+            return tuple(rec(n) for n in node)
+        return node
+    return rec(opt_state)
