@@ -183,9 +183,15 @@ class LowCNN(nn.Module):
                     dtype=dt,
                     name="gru_update",
                 )
-                hidden0 = jnp.zeros(
+                # derive the zero init from disp_low (still exactly zero)
+                # instead of a fresh jnp.zeros: under shard_map a literal
+                # carry init is "unvarying" while the carry output varies
+                # over the mesh axis, which fails lax.scan's typing —
+                # deriving from a device-varying array sidesteps it and
+                # keeps the model usable inside wsharded eval
+                hidden0 = jnp.broadcast_to(
+                    (disp_low * 0).astype(jnp.float32 if dt is None else dt),
                     (B, H8, W8, gru_dim),
-                    jnp.float32 if dt is None else dt,
                 )
                 (_, _), (disps, masks) = scan_update.scan_step(
                     (disp_low, hidden0), volume, left8, right8, lf, train,

@@ -100,6 +100,63 @@ def correlation_volume_wsharded(
     return _band_local(left, right_ext, max_disp)
 
 
+def make_wsharded_model_eval(
+    mesh: Mesh,
+    apply_fn,
+    out_width: int,
+    margin: int,
+    axis_name: str = "data",
+):
+    """Full-model W-sharded inference by overlap-and-discard.
+
+    Each device runs the UNMODIFIED model on its W-slab extended by
+    ``margin`` columns per side (8-aligned so every internal ÷8 resize is
+    phase-consistent with the global computation), then keeps only the
+    central slab — exact wherever ``margin`` covers the model's receptive
+    field plus the disparity reach (≈ backbone RF + 8·max_disp/8 input
+    px; parity-tested).  Inputs are replicated ([B,H,W,3] is small next
+    to the activations this avoids materialising per chip); activation
+    memory and compute per chip scale with (W/n + 2·margin) instead of W,
+    which is what enables very wide (4K+) pairs that do not fit one chip.
+
+    ``apply_fn(left_slice, right_slice) -> [B, H', width, 1]`` is the
+    jittable eval forward (close over variables); ``out_width`` is the
+    model's output W for a full-width input (e.g. W for a convex-8×
+    model).  Returns ``run(left, right) -> [B, H', out_width, 1]``
+    sharded on W.
+    """
+    n = mesh.shape[axis_name]
+
+    def shard(l, r):
+        W = l.shape[2]
+        assert W % n == 0 and (W // n) % 8 == 0 and margin % 8 == 0, (
+            "W, W/n and margin must be multiples of 8 for resize phase "
+            "alignment"
+        )
+        Ws = W // n
+        width = min(W, Ws + 2 * margin)
+        # output columns per input column (1 for full-res-out models,
+        # 1/8 for low-res heads) — kept exact via multiply-then-divide
+        assert (Ws * out_width) % W == 0, (Ws, out_width, W)
+        i = jax.lax.axis_index(axis_name)
+        start = jnp.clip(i * Ws - margin, 0, W - width)
+        ls = jax.lax.dynamic_slice_in_dim(l, start, width, axis=2)
+        rs = jax.lax.dynamic_slice_in_dim(r, start, width, axis=2)
+        disp = apply_fn(ls, rs)
+        off = ((i * Ws - start) * out_width) // W
+        return jax.lax.dynamic_slice_in_dim(
+            disp, off, (Ws * out_width) // W, axis=2
+        )
+
+    fn = jax.jit(
+        jax.shard_map(
+            shard, mesh=mesh, in_specs=(P(), P()),
+            out_specs=P(None, None, axis_name, None),
+        )
+    )
+    return fn
+
+
 def make_wsharded_initial_disparity(
     mesh: Mesh,
     max_disp: int,

@@ -111,3 +111,39 @@ def test_wsharded_volume_matches_unsharded_volume():
     v = np.asarray(vol)
     for d in range(1, D):
         assert np.all(v[:, :, :d, d] == 0.0)
+
+
+def test_wsharded_full_model_eval_parity():
+    """Overlap-and-discard full-model W-sharding: the unmodified flagship
+    evaluated per-slab (+margin) must match the unsharded forward wherever
+    the margin covers receptive field + disparity reach."""
+    from jax.sharding import Mesh
+    from stereoformer_tpu.models import get_model
+    from stereoformer_tpu.parallel.wshard import make_wsharded_model_eval
+
+    model = get_model("LowCNN_gru", loop="unroll")
+    B, H, W = 1, 64, 256
+    rng = np.random.RandomState(0)
+    left = jnp.asarray(rng.rand(B, H, W, 3).astype(np.float32))
+    right = jnp.asarray(rng.rand(B, H, W, 3).astype(np.float32))
+    variables = model.init(jax.random.PRNGKey(0), left, right, iters=1,
+                           train=False)
+
+    def apply_fn(l, r):
+        return model.apply(variables, l, r, iters=2, train=False)[
+            "disparities"][-1]
+
+    ref = np.asarray(apply_fn(left, right))
+
+    mesh = Mesh(np.asarray(jax.devices()[:2]), ("data",))
+    run = make_wsharded_model_eval(mesh, apply_fn, out_width=W, margin=96)
+    out = run(left, right)
+    assert len(out.addressable_shards) == 2
+    got = np.asarray(out)
+    assert got.shape == ref.shape
+    # the residual error is pure compilation-order float drift, not a
+    # slicing artifact: at margin=128 each device computes the FULL image
+    # (width=min(W, Ws+2*margin)=W) and the max error is the same 1.9e-4
+    # as at margin=32 — i.e. the overlap-discard scheme is slicing-exact
+    # at this scale and the tolerance only absorbs jit-vs-eager fusion
+    np.testing.assert_allclose(got, ref, atol=2e-3, rtol=0)
