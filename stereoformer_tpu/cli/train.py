@@ -54,6 +54,9 @@ def build_parser() -> argparse.ArgumentParser:
                         "(SceneflowLoader.py:32 scale_size)")
     p.add_argument("--scale_w", type=int, default=960)
     p.add_argument("--workers", type=int, default=None)
+    p.add_argument("--filenames_dir", type=str, default=None,
+                   help="directory of the KITTI/ETH3D/Middlebury list "
+                        "registry (default: ./filenames)")
     p.add_argument("--remat", action="store_true")
     p.add_argument("--dtype", type=str, default=None,
                    choices=[None, "f32", "bf16"],
@@ -154,6 +157,7 @@ def main(argv=None):
         color_aug=opt.color_aug,
         dtype=opt.dtype,
         scale_size=(opt.scale_h, opt.scale_w),
+        filenames_dir=opt.filenames_dir,
     )
     trainer.initialize()
 

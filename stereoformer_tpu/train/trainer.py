@@ -79,6 +79,7 @@ class DisparityTrainer:
         color_aug: bool = False,
         dtype: Optional[str] = None,
         scale_size: Optional[tuple[int, int]] = None,
+        filenames_dir: Optional[str] = None,
     ):
         self.lr = lr
         self.dataset = dataset
@@ -96,6 +97,7 @@ class DisparityTrainer:
         self.seed = seed
         self.mesh = mesh
         self.remat = remat
+        self.filenames_dir = filenames_dir
         self.color_aug = color_aug
         self.dtype = dtype
         self.scale_size = scale_size
@@ -124,6 +126,11 @@ class DisparityTrainer:
             )
         else:
             kw = {"scale_size": self.scale_size} if self.scale_size else {}
+            if self.filenames_dir:
+                # KITTI/ETH3D/Middlebury list files live in a filenames/
+                # registry (SceneflowLoader.py:41-60); overridable so
+                # training is not tied to the repo root as the cwd
+                kw["filenames_dir"] = self.filenames_dir
             self.train_set = StereoDataset(
                 self.datapath, self.trainlist, self.vallist,
                 dataset_name=self.dataset, mode="train", **kw,

@@ -156,3 +156,62 @@ def test_subset_negation(tmp_path):
     data.write_pfm(p, d)
     got = data.read_disp(p, subset=True)
     np.testing.assert_allclose(got, -d, atol=1e-6)
+
+
+def _make_kitti_tree(root, n_train=4, n_val=2, H=64, W=128):
+    """KITTI2015-format tree: 8-bit PNG pairs + 16-bit PNG disparities
+    (value = disp·256, file_io read_disp ÷256 semantics) + the canonical
+    filenames/ registry layout (SceneflowLoader.py:41-60)."""
+    from PIL import Image
+
+    ds = data.DummyStereoDataset(length=n_train + n_val, height=H, width=W,
+                                 max_disp=24.0)
+    for sub in ("training/image_2", "training/image_3",
+                "training/disp_occ_0", "filenames"):
+        os.makedirs(os.path.join(root, sub), exist_ok=True)
+    lines = []
+    for i in range(n_train + n_val):
+        s = ds[i]
+        nm = f"{i:06d}_10.png"
+        Image.fromarray(s["img_left"].astype(np.uint8)).save(
+            os.path.join(root, "training/image_2", nm))
+        Image.fromarray(s["img_right"].astype(np.uint8)).save(
+            os.path.join(root, "training/image_3", nm))
+        d16 = (s["gt_disp"] * 256.0).round().astype(np.uint16)
+        Image.fromarray(d16).save(
+            os.path.join(root, "training/disp_occ_0", nm))
+        lines.append(
+            f"training/image_2/{nm} training/image_3/{nm} "
+            f"training/disp_occ_0/{nm}"
+        )
+    for name, sel in (("KITTI_2015_train.txt", lines[:n_train]),
+                      ("KITTI_2015_val.txt", lines[n_train:])):
+        with open(os.path.join(root, "filenames", name), "w") as f:
+            f.write("\n".join(sel) + "\n")
+
+
+def test_cli_train_on_kitti_path(tmp_path):
+    """cli/train.py --dataset KITTI2015 with --filenames_dir: the KITTI
+    16-bit-PNG÷256 decode + canonical list registry, end to end."""
+    from stereoformer_tpu.cli.train import main
+
+    root = str(tmp_path / "kitti")
+    _make_kitti_tree(root)
+    outf = str(tmp_path / "models")
+    main([
+        "--dataset", "KITTI2015",
+        "--datapath", root,
+        "--filenames_dir", os.path.join(root, "filenames"),
+        "--net", "LowCNN_gru",
+        "--batch_size", "2", "--test_batch", "2",
+        "--crop_h", "32", "--crop_w", "64",
+        "--scale_h", "32", "--scale_w", "64",
+        "--train_iters", "1", "--eval_iters", "1",
+        "--epochs", "1",
+        "--outf", outf, "--save_logdir", str(tmp_path / "logs"),
+        "--workers", "2",
+        "--no_mesh",
+    ])
+    assert glob.glob(os.path.join(outf, "LowCNN_gru_0_*"))
+    log = open(os.path.join(outf, "train.log")).read()
+    assert "Validate epoch" in log
