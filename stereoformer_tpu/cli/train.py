@@ -58,6 +58,10 @@ def build_parser() -> argparse.ArgumentParser:
                    help="directory of the KITTI/ETH3D/Middlebury list "
                         "registry (default: ./filenames)")
     p.add_argument("--remat", action="store_true")
+    p.add_argument("--fsdp", action="store_true",
+                   help="shard params + optimizer moments over the mesh "
+                        "(ZeRO-style; parallel/fsdp.py) instead of "
+                        "replicating them")
     p.add_argument("--dtype", type=str, default=None,
                    choices=[None, "f32", "bf16"],
                    help="compute dtype (params stay f32)")
@@ -154,6 +158,7 @@ def main(argv=None):
         seed=opt.manualSeed,
         mesh=mesh,
         remat=opt.remat,
+        fsdp=opt.fsdp and mesh is not None,
         color_aug=opt.color_aug,
         dtype=opt.dtype,
         scale_size=(opt.scale_h, opt.scale_w),

@@ -86,3 +86,8 @@ from .wshard import (  # noqa: E402  (W-sharded pipeline, see wshard.py)
     correlation_volume_wsharded,
     make_wsharded_initial_disparity,
 )
+from .fsdp import (  # noqa: E402  (ZeRO-style sharded state, see fsdp.py)
+    fsdp_shardings,
+    fsdp_spec,
+    shard_state_fsdp,
+)

@@ -51,11 +51,18 @@ def make_train_step(
     gamma: float = 0.8,
     weights: Sequence[float] = (0.8, 1.2),
     remat: bool = False,
+    state_out_shardings=None,
 ) -> Callable:
     """Returns jitted ``train_step(state, batch) -> (state, metrics)``.
 
     ``remat=True`` wraps the forward in ``jax.checkpoint`` to trade
     recompute for memory across the unrolled GRU iterations.
+
+    ``state_out_shardings``: optional pytree of ``NamedSharding`` matching
+    ``TrainState`` — pins the updated state's placement (FSDP: params and
+    optimizer moments stay sharded over the mesh; XLA all-gathers params
+    at use and reduce-scatters the gradients — ``parallel/fsdp.py``).
+    Donation then reuses the identically-sharded input buffers.
     """
 
     def forward(params, batch_stats, left, right):
@@ -76,7 +83,12 @@ def make_train_step(
         epe = losses.epe(out["disparities"][-1], gt)
         return loss, (mutated["batch_stats"], epe)
 
-    @functools.partial(jax.jit, donate_argnums=(0,))
+    jit_kwargs = {}
+    if state_out_shardings is not None:
+        # metrics stay unconstrained (scalars; XLA replicates them)
+        jit_kwargs["out_shardings"] = (state_out_shardings, None)
+
+    @functools.partial(jax.jit, donate_argnums=(0,), **jit_kwargs)
     def train_step(state: TrainState, batch: dict):
         (loss, (new_stats, epe)), grads = jax.value_and_grad(
             loss_fn, has_aux=True

@@ -76,6 +76,7 @@ class DisparityTrainer:
         seed: int = 1024,
         mesh=None,
         remat: bool = False,
+        fsdp: bool = False,
         color_aug: bool = False,
         dtype: Optional[str] = None,
         scale_size: Optional[tuple[int, int]] = None,
@@ -97,6 +98,8 @@ class DisparityTrainer:
         self.seed = seed
         self.mesh = mesh
         self.remat = remat
+        self.fsdp = fsdp
+        self.state_shardings = None
         self.filenames_dir = filenames_dir
         self.color_aug = color_aug
         self.dtype = dtype
@@ -185,10 +188,18 @@ class DisparityTrainer:
             )
         )(self.params, self.batch_stats)
         if self.mesh is not None:
-            self.state = jax.tree_util.tree_map(
-                lambda x: jax.device_put(x, parallel.replicated(self.mesh)),
-                self.state,
-            )
+            if self.fsdp:
+                # ZeRO-style: params + amsgrad moments sharded over the
+                # data axis; the train step pins its output to the same
+                # shardings (parallel/fsdp.py)
+                self.state, self.state_shardings = parallel.shard_state_fsdp(
+                    self.state, self.mesh
+                )
+            else:
+                self.state = jax.tree_util.tree_map(
+                    lambda x: jax.device_put(x, parallel.replicated(self.mesh)),
+                    self.state,
+                )
 
     def initialize(self):
         if self.mesh is not None:
@@ -205,11 +216,17 @@ class DisparityTrainer:
         self.train_step = make_train_step(
             self.net, self.tx, self.loss_name, iters=self.train_iters,
             weights=self.loss_weights, remat=self.remat,
+            state_out_shardings=self.state_shardings,
         )
         self.eval_step = make_eval_step(self.net, iters=self.eval_iters)
         if self.pretrain and self.pretrain != "none":
             try:
                 self.state = restore_checkpoint(self.pretrain, self.state)
+                if self.state_shardings is not None:
+                    # restore materialises host arrays; re-pin the FSDP layout
+                    self.state = jax.tree_util.tree_map(
+                        jax.device_put, self.state, self.state_shardings
+                    )
                 self.is_pretrain = True
                 logger.info("Loaded pretrain checkpoint: %s", self.pretrain)
             except Exception as e:
@@ -228,6 +245,7 @@ class DisparityTrainer:
         self.train_step = make_train_step(
             self.net, self.tx, self.loss_name, iters=self.train_iters,
             weights=self.loss_weights, remat=self.remat,
+            state_out_shardings=self.state_shardings,
         )
 
     # -- epoch loops ---------------------------------------------------------

@@ -147,3 +147,92 @@ def test_wsharded_full_model_eval_parity():
     # as at margin=32 — i.e. the overlap-discard scheme is slicing-exact
     # at this scale and the tolerance only absorbs jit-vs-eager fusion
     np.testing.assert_allclose(got, ref, atol=2e-3, rtol=0)
+
+
+# -- FSDP / ZeRO-style sharded training state (parallel/fsdp.py) -------------
+
+
+def test_fsdp_spec_rules():
+    from jax.sharding import PartitionSpec as P
+
+    from stereoformer_tpu.parallel import fsdp_spec
+
+    # largest divisible dim is sharded; ties prefer the trailing dim
+    assert fsdp_spec((3, 3, 64, 64), 8) == P(None, None, None, "data")
+    assert fsdp_spec((128, 64), 8) == P("data", None)
+    # small leaves and indivisible shapes stay replicated
+    assert fsdp_spec((64,), 8) == P()
+    assert fsdp_spec((3, 3, 5, 7), 8) == P()
+    assert fsdp_spec((), 8) == P()
+
+
+def test_fsdp_train_parity_and_sharding():
+    """FSDP-sharded state: same losses as the replicated run, state
+    actually sharded (addressable shards < global), donation-safe."""
+    import optax
+
+    from stereoformer_tpu.models import LowCNN
+    from stereoformer_tpu.train import TrainState, make_train_step
+    from tests.test_train import _dummy_batch, _tiny_setup
+
+    assert len(jax.devices()) == 8
+    mesh = parallel.make_mesh()
+
+    _, state, step = _tiny_setup(B=8)
+    batch = _dummy_batch(B=8)
+    sharded_batch = parallel.shard_batch(
+        {k: np.asarray(v) for k, v in batch.items()}, mesh
+    )
+
+    # independent FSDP copy before the replicated step donates `state`
+    fsdp_state, shardings = parallel.shard_state_fsdp(
+        jax.tree_util.tree_map(jnp.copy, state), mesh
+    )
+    # at least one leaf is genuinely sharded over the mesh
+    sharded_leaves = [
+        (x, s) for x, s in zip(
+            jax.tree_util.tree_leaves(fsdp_state),
+            jax.tree_util.tree_leaves(shardings),
+        )
+        if not s.is_fully_replicated
+    ]
+    assert sharded_leaves
+    for x, _ in sharded_leaves:
+        assert x.addressable_shards[0].data.size == x.size // 8
+
+    model = LowCNN(refinement="fixed")
+    tx = optax.amsgrad(1e-3)
+    fsdp_step = make_train_step(
+        model, tx, "single", iters=2, state_out_shardings=shardings
+    )
+
+    losses_rep, losses_fsdp = [], []
+    for _ in range(3):
+        state, m1 = step(state, sharded_batch)
+        fsdp_state, m2 = fsdp_step(fsdp_state, sharded_batch)
+        losses_rep.append(float(m1["loss"]))
+        losses_fsdp.append(float(m2["loss"]))
+    # reduce-scatter vs all-reduce reduction order drifts a few
+    # ulps per step; amsgrad compounds it slightly
+    np.testing.assert_allclose(losses_rep, losses_fsdp, rtol=2e-3)
+
+    # the updated state keeps the FSDP layout (donation reused buffers)
+    out_leaf = [
+        x for x, s in zip(
+            jax.tree_util.tree_leaves(fsdp_state),
+            jax.tree_util.tree_leaves(shardings),
+        )
+        if not s.is_fully_replicated
+    ][0]
+    assert out_leaf.addressable_shards[0].data.size == out_leaf.size // 8
+
+    # params agree to within a few adam steps' worth of noise: reduction
+    # order perturbs grads by ulps, adam rescales any perturbation to ~lr
+    # magnitude per step, and for leaves with near-zero gradients even the
+    # update's SIGN is noise — so the bound is 2*lr per step, absolute
+    p1 = jax.tree_util.tree_leaves(state.params)
+    p2 = jax.tree_util.tree_leaves(fsdp_state.params)
+    for a, b in zip(p1, p2):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=0, atol=7e-3
+        )

@@ -215,3 +215,63 @@ def test_cli_train_on_kitti_path(tmp_path):
     assert glob.glob(os.path.join(outf, "LowCNN_gru_0_*"))
     log = open(os.path.join(outf, "train.log")).read()
     assert "Validate epoch" in log
+
+
+def _make_list_registry_tree(root, fnames_dir, dataset, list_names, rels,
+                             H=32, W=64):
+    """Fixture tree for a registry-driven dataset (ETH3D / Middlebury):
+    PNG pairs + PFM GT at the list files' exact relative paths, plus
+    truncated train/val list files under a filenames dir."""
+    from PIL import Image
+
+    ds = data.DummyStereoDataset(length=len(rels), height=H, width=W,
+                                 max_disp=12.0)
+    lines = []
+    for i, (rel_l, rel_r, rel_d) in enumerate(rels):
+        s = ds[i]
+        for rel in (rel_l, rel_r, rel_d):
+            os.makedirs(os.path.join(root, os.path.dirname(rel)),
+                        exist_ok=True)
+        Image.fromarray(s["img_left"].astype(np.uint8)).save(
+            os.path.join(root, rel_l))
+        Image.fromarray(s["img_right"].astype(np.uint8)).save(
+            os.path.join(root, rel_r))
+        data.write_pfm(os.path.join(root, rel_d), s["gt_disp"])
+        lines.append(f"{rel_l} {rel_r} {rel_d}")
+    os.makedirs(fnames_dir, exist_ok=True)
+    for name, sel in list_names:
+        with open(os.path.join(fnames_dir, name), "w") as f:
+            f.write("\n".join(sel(lines)) + "\n")
+
+
+@pytest.mark.parametrize("dataset,train_list,val_list,scene", [
+    ("ETH3D", "ETH3D.list", "ETH3D_val.list",
+     ("ETH3D/training/{i}/im0.png", "ETH3D/training/{i}/im1.png",
+      "ETH3D/disp/{i}/disp0GT.pfm")),
+    ("Middlebury", "Middleburry.list", "Middleburry_val.list",
+     ("MiddEval3/trainingH/{i}/im0.png", "MiddEval3/trainingH/{i}/im1.png",
+      "MiddEval3/disp/{i}/disp0GT.pfm")),
+])
+def test_registry_dataset_reads_fixtures(tmp_path, dataset, train_list,
+                                         val_list, scene):
+    """ETH3D / Middlebury registries resolve their list files from
+    --filenames_dir and decode PNG pairs + PFM GT (dataset.py
+    _DATASET_LISTS; list layout matches the shipped filenames/*.list)."""
+    root = str(tmp_path / "data")
+    fnames = str(tmp_path / "filenames")
+    rels = [tuple(p.format(i=f"scene_{i}") for p in scene) for i in range(3)]
+    _make_list_registry_tree(
+        root, fnames, dataset,
+        [(train_list, lambda l: l[:2]), (val_list, lambda l: l[2:])], rels)
+    train = data.StereoDataset(root, "", "", dataset_name=dataset,
+                               mode="train", filenames_dir=fnames)
+    assert len(train) == 2
+    s = train[0]
+    assert s["img_left"].shape == (32, 64, 3)
+    assert s["gt_disp"].shape == (32, 64)
+    assert np.isfinite(s["gt_disp"]).all() and s["gt_disp"].min() > 0
+    val = data.StereoDataset(root, "", "", dataset_name=dataset, mode="val",
+                             filenames_dir=fnames, scale_size=(32, 64))
+    assert len(val) == 1
+    v = val[0]
+    assert v["img_left"].shape == (32, 64, 3)
