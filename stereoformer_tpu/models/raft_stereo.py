@@ -39,6 +39,11 @@ class RAFTStereo(nn.Module):
     # shared data pipeline / DisparityTrainer convention) and are converted
     # back to the [-1, 1] range the encoders expect.
     input_norm: str = "raw"
+    # compute dtype for encoders/GRU convs (bf16 for MXU speed + half the
+    # HBM traffic through the full-resolution fnet norms); params, the
+    # correlation accumulation, coordinates, flow head and mask softmax
+    # stay f32 (repo mixed-precision convention).
+    dtype: object = None
 
     @nn.compact
     def __call__(
@@ -62,11 +67,11 @@ class RAFTStereo(nn.Module):
         cnet = MultiBasicEncoder(
             output_dims=(tuple(self.hidden_dims), tuple(self.hidden_dims)),
             norm="batch", downsample=self.downsample,
-            num_layers=self.n_gru_layers, name="cnet",
+            num_layers=self.n_gru_layers, dtype=self.dtype, name="cnet",
         )
         fnet = BasicEncoder(
             output_dim=256, norm="instance", downsample=self.downsample,
-            name="fnet",
+            dtype=self.dtype, name="fnet",
         )
 
         cnet_list = cnet(left, train=train)
@@ -80,12 +85,17 @@ class RAFTStereo(nn.Module):
         ctx = []
         for i, c in enumerate(inp):
             z = nn.Conv(
-                self.hidden_dims[i] * 3, (3, 3), padding=1,
+                self.hidden_dims[i] * 3, (3, 3), padding=1, dtype=self.dtype,
                 kernel_init=he_out(), name=f"context_zqr{i}",
             )(c)
             ctx.append(tuple(jnp.split(z, 3, axis=-1)))
 
         corr = ops.allpairs_corr1d(fmap1, fmap2)          # [B,H,W,W2]
+        if self.dtype is not None:
+            # corr is accumulated in f32 (preferred_element_type); store the
+            # pyramid in the compute dtype — the per-iteration windowed
+            # lookup is HBM-bandwidth-bound on the [B,H,W,W2] volume.
+            corr = corr.astype(self.dtype)
         pyramid = ops.corr_pyramid(corr, self.corr_levels)
 
         update = MultiUpdateBlock(
@@ -94,6 +104,7 @@ class RAFTStereo(nn.Module):
             corr_radius=self.corr_radius,
             n_gru_layers=self.n_gru_layers,
             n_downsample=self.downsample,
+            dtype=self.dtype,
             name="update_block",
         )
 

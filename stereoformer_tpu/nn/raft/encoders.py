@@ -15,8 +15,72 @@ from __future__ import annotations
 from typing import Sequence
 
 import flax.linen as nn
+import jax
+import jax.numpy as jnp
 
 he_out = lambda: nn.initializers.variance_scaling(2.0, "fan_out", "truncated_normal")
+
+
+class GroupNormNHWC(nn.Module):
+    """Group/instance norm that never reshapes the activation to 5-D.
+
+    ``flax.linen.GroupNorm`` reshapes [N,H,W,C] -> [N,H,W,G,C/G] to reduce
+    over group axes; on TPU the 5-D intermediate forces XLA layout copies
+    around every norm (measured 65 ms/step of pure ``copy`` ops in the
+    RAFT feature encoder at 576x960 — the norm tensors at 1/2 resolution
+    are ~0.5 GB each and were copied twice per norm).  Instead we take
+    per-channel moments over the spatial axes (one pass over the
+    activation, fusable multi-output reduce), merge channels within each
+    group on the tiny [N, C] moment tensors, and apply the affine as plain
+    NHWC elementwise math that XLA fuses into the neighbouring
+    conv/relu.  Matches flax.linen.GroupNorm (eps 1e-6, f32 stats,
+    flax dtype-promotion semantics) to float rounding; parity-tested in
+    tests/test_raft_stereo.py::TestGroupNormNHWC.
+    """
+
+    num_groups: int
+    epsilon: float = 1e-6
+    use_scale: bool = True
+    use_bias: bool = True
+    dtype: object = None  # output dtype override (bf16 mixed precision)
+
+    @nn.compact
+    def __call__(self, x):
+        C = x.shape[-1]
+        G = self.num_groups
+        assert C % G == 0, (C, G)
+        spatial = tuple(range(1, x.ndim - 1))
+        xf = x.astype(jnp.float32)
+        s1 = jnp.mean(xf, axis=spatial)                      # [N, C]
+        s2 = jnp.mean(jnp.square(xf), axis=spatial)          # [N, C]
+        m1 = s1.reshape(-1, G, C // G).mean(-1)              # [N, G]
+        m2 = s2.reshape(-1, G, C // G).mean(-1)
+        var = jnp.maximum(m2 - jnp.square(m1), 0.0)
+        inv = jax.lax.rsqrt(var + self.epsilon)              # [N, G]
+        mean_c = jnp.repeat(m1, C // G, axis=1)              # [N, C]
+        inv_c = jnp.repeat(inv, C // G, axis=1)
+        bshape = (x.shape[0],) + (1,) * (x.ndim - 2) + (C,)
+        params = []
+        if self.use_scale:
+            scale = self.param("scale", nn.initializers.ones, (C,))
+            params.append(scale)
+            inv_c = inv_c * scale[None, :]
+        if self.dtype is not None:
+            out_dtype = self.dtype
+        else:
+            out_dtype = jnp.result_type(x, *params) if params else x.dtype
+        # stats stay f32 (above); the activation-sized elementwise math runs
+        # in the OUTPUT dtype so mixed-precision mode never materialises an
+        # f32 copy of a (potentially full-resolution) feature map
+        cd = out_dtype
+        y = (x.astype(cd) - mean_c.reshape(bshape).astype(cd)) * inv_c.reshape(
+            bshape
+        ).astype(cd)
+        if self.use_bias:
+            bias = self.param("bias", nn.initializers.zeros, (C,))
+            params.append(bias)
+            y = y + bias[None, :].astype(cd)
+        return y.astype(out_dtype)
 
 
 class _Norm(nn.Module):
@@ -25,16 +89,26 @@ class _Norm(nn.Module):
 
     kind: str
     features: int
+    dtype: object = None
 
     @nn.compact
     def __call__(self, x, train: bool = True):
         if self.kind == "group":
-            return nn.GroupNorm(num_groups=self.features // 8)(x)
+            return GroupNormNHWC(
+                num_groups=self.features // 8, dtype=self.dtype,
+                name="GroupNorm_0",
+            )(x)
         if self.kind == "batch":
-            return nn.BatchNorm(use_running_average=not train, momentum=0.9)(x)
+            return nn.BatchNorm(
+                use_running_average=not train, momentum=0.9, dtype=self.dtype
+            )(x)
         if self.kind == "instance":
-            return nn.GroupNorm(
-                num_groups=self.features, use_bias=False, use_scale=False
+            return GroupNormNHWC(
+                num_groups=self.features,
+                use_bias=False,
+                use_scale=False,
+                dtype=self.dtype,
+                name="GroupNorm_0",
             )(x)
         return x
 
@@ -43,20 +117,23 @@ class RaftResidualBlock(nn.Module):
     features: int
     norm: str = "group"
     stride: int = 1
+    dtype: object = None
 
     @nn.compact
     def __call__(self, x, train: bool = True):
+        dt = self.dtype
         y = nn.Conv(self.features, (3, 3), strides=self.stride, padding=1,
-                    kernel_init=he_out())(x)
-        y = _Norm(self.norm, self.features)(y, train)
+                    kernel_init=he_out(), dtype=dt)(x)
+        y = _Norm(self.norm, self.features, dt)(y, train)
         y = nn.relu(y)
-        y = nn.Conv(self.features, (3, 3), padding=1, kernel_init=he_out())(y)
-        y = _Norm(self.norm, self.features)(y, train)
+        y = nn.Conv(self.features, (3, 3), padding=1, kernel_init=he_out(),
+                    dtype=dt)(y)
+        y = _Norm(self.norm, self.features, dt)(y, train)
         y = nn.relu(y)
         if self.stride != 1 or x.shape[-1] != self.features:
             x = nn.Conv(self.features, (1, 1), strides=self.stride,
-                        kernel_init=he_out(), name="downsample")(x)
-            x = _Norm(self.norm, self.features)(x, train)
+                        kernel_init=he_out(), dtype=dt, name="downsample")(x)
+            x = _Norm(self.norm, self.features, dt)(x, train)
         return nn.relu(x + y)
 
 
@@ -66,20 +143,23 @@ class BottleneckBlock(nn.Module):
     features: int
     norm: str = "group"
     stride: int = 1
+    dtype: object = None
 
     @nn.compact
     def __call__(self, x, train: bool = True):
+        dt = self.dtype
         q = self.features // 4
-        y = nn.Conv(q, (1, 1), kernel_init=he_out())(x)
-        y = nn.relu(_Norm(self.norm, q)(y, train))
-        y = nn.Conv(q, (3, 3), strides=self.stride, padding=1, kernel_init=he_out())(y)
-        y = nn.relu(_Norm(self.norm, q)(y, train))
-        y = nn.Conv(self.features, (1, 1), kernel_init=he_out())(y)
-        y = nn.relu(_Norm(self.norm, self.features)(y, train))
+        y = nn.Conv(q, (1, 1), kernel_init=he_out(), dtype=dt)(x)
+        y = nn.relu(_Norm(self.norm, q, dt)(y, train))
+        y = nn.Conv(q, (3, 3), strides=self.stride, padding=1,
+                    kernel_init=he_out(), dtype=dt)(y)
+        y = nn.relu(_Norm(self.norm, q, dt)(y, train))
+        y = nn.Conv(self.features, (1, 1), kernel_init=he_out(), dtype=dt)(y)
+        y = nn.relu(_Norm(self.norm, self.features, dt)(y, train))
         if self.stride != 1:
             x = nn.Conv(self.features, (1, 1), strides=self.stride,
-                        kernel_init=he_out(), name="downsample")(x)
-            x = _Norm(self.norm, self.features)(x, train)
+                        kernel_init=he_out(), dtype=dt, name="downsample")(x)
+            x = _Norm(self.norm, self.features, dt)(x, train)
         return nn.relu(x + y)
 
 
@@ -89,19 +169,24 @@ class BasicEncoder(nn.Module):
     output_dim: int = 256
     norm: str = "instance"
     downsample: int = 2
+    dtype: object = None
 
     @nn.compact
     def __call__(self, x, train: bool = True):
         d = self.downsample
+        dt = self.dtype
         x = nn.Conv(64, (7, 7), strides=1 + (d > 2), padding=3,
-                    kernel_init=he_out())(x)
-        x = nn.relu(_Norm(self.norm, 64)(x, train))
+                    kernel_init=he_out(), dtype=dt)(x)
+        x = nn.relu(_Norm(self.norm, 64, dt)(x, train))
         for i, (dim, stride) in enumerate(
             [(64, 1), (96, 1 + (d > 1)), (128, 1 + (d > 0))]
         ):
-            x = RaftResidualBlock(dim, self.norm, stride, name=f"layer{i+1}a")(x, train)
-            x = RaftResidualBlock(dim, self.norm, 1, name=f"layer{i+1}b")(x, train)
-        return nn.Conv(self.output_dim, (1, 1), kernel_init=he_out())(x)
+            x = RaftResidualBlock(dim, self.norm, stride, dtype=dt,
+                                  name=f"layer{i+1}a")(x, train)
+            x = RaftResidualBlock(dim, self.norm, 1, dtype=dt,
+                                  name=f"layer{i+1}b")(x, train)
+        return nn.Conv(self.output_dim, (1, 1), kernel_init=he_out(),
+                       dtype=dt)(x)
 
 
 class MultiBasicEncoder(nn.Module):
@@ -115,24 +200,30 @@ class MultiBasicEncoder(nn.Module):
     norm: str = "batch"
     downsample: int = 2
     num_layers: int = 3
+    dtype: object = None
 
     @nn.compact
     def __call__(self, x, train: bool = True):
         d = self.downsample
+        dt = self.dtype
         x = nn.Conv(64, (7, 7), strides=1 + (d > 2), padding=3,
-                    kernel_init=he_out())(x)
-        x = nn.relu(_Norm(self.norm, 64)(x, train))
+                    kernel_init=he_out(), dtype=dt)(x)
+        x = nn.relu(_Norm(self.norm, 64, dt)(x, train))
         for i, (dim, stride) in enumerate(
             [(64, 1), (96, 1 + (d > 1)), (128, 1 + (d > 0))]
         ):
-            x = RaftResidualBlock(dim, self.norm, stride, name=f"layer{i+1}a")(x, train)
-            x = RaftResidualBlock(dim, self.norm, 1, name=f"layer{i+1}b")(x, train)
+            x = RaftResidualBlock(dim, self.norm, stride, dtype=dt,
+                                  name=f"layer{i+1}a")(x, train)
+            x = RaftResidualBlock(dim, self.norm, 1, dtype=dt,
+                                  name=f"layer{i+1}b")(x, train)
 
         outputs = []
         feats = [x]
         for lvl in range(1, self.num_layers):
-            y = RaftResidualBlock(128, self.norm, 2, name=f"down{lvl}a")(feats[-1], train)
-            y = RaftResidualBlock(128, self.norm, 1, name=f"down{lvl}b")(y, train)
+            y = RaftResidualBlock(128, self.norm, 2, dtype=dt,
+                                  name=f"down{lvl}a")(feats[-1], train)
+            y = RaftResidualBlock(128, self.norm, 1, dtype=dt,
+                                  name=f"down{lvl}b")(y, train)
             feats.append(y)
         for lvl, f in enumerate(feats):
             pair = []
@@ -140,10 +231,10 @@ class MultiBasicEncoder(nn.Module):
                 h = f
                 if lvl < 2:  # finest two scales get an extra ResBlock head
                     h = RaftResidualBlock(
-                        128, self.norm, 1, name=f"out{lvl}_{head}_res"
+                        128, self.norm, 1, dtype=dt, name=f"out{lvl}_{head}_res"
                     )(h, train)
                 h = nn.Conv(dims[lvl], (3, 3), padding=1, kernel_init=he_out(),
-                            name=f"out{lvl}_{head}_conv")(h)
+                            dtype=dt, name=f"out{lvl}_{head}_conv")(h)
                 pair.append(h)
             outputs.append(tuple(pair))
         return outputs

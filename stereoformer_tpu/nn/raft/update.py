@@ -39,11 +39,15 @@ def interp_to(x, ref):
 class FlowHead(nn.Module):
     hidden: int = 256
     out: int = 2
+    dtype: object = None
 
     @nn.compact
     def __call__(self, x):
-        x = nn.relu(nn.Conv(self.hidden, (3, 3), padding=1, kernel_init=he_out())(x))
-        return nn.Conv(self.out, (3, 3), padding=1, kernel_init=he_out())(x)
+        x = nn.relu(nn.Conv(self.hidden, (3, 3), padding=1, kernel_init=he_out(),
+                            dtype=self.dtype)(x))
+        # the head output feeds coordinate updates: keep it f32
+        return nn.Conv(self.out, (3, 3), padding=1, kernel_init=he_out(),
+                       dtype=jnp.float32)(x)
 
 
 class ContextConvGRU(nn.Module):
@@ -54,23 +58,24 @@ class ContextConvGRU(nn.Module):
 
     hidden_dim: int
     kernel_size: int = 3
+    dtype: object = None
 
     @nn.compact
     def __call__(self, h, context, *inputs):
         from ..gru import stacked_init
 
         cz, cr, cq = context
-        x = jnp.concatenate(inputs, axis=-1)
+        x = jnp.concatenate([i.astype(h.dtype) for i in inputs], axis=-1)
         hx = jnp.concatenate([h, x], axis=-1)
         k = self.kernel_size
         zr = nn.Conv(
-            2 * self.hidden_dim, (k, k), padding=k // 2,
+            2 * self.hidden_dim, (k, k), padding=k // 2, dtype=self.dtype,
             kernel_init=stacked_init(he_out(), 2), name="convzr",
         )(hx)
         z = nn.sigmoid(zr[..., : self.hidden_dim] + cz)
         r = nn.sigmoid(zr[..., self.hidden_dim :] + cr)
         q = nn.tanh(
-            nn.Conv(self.hidden_dim, (k, k), padding=k // 2,
+            nn.Conv(self.hidden_dim, (k, k), padding=k // 2, dtype=self.dtype,
                     kernel_init=he_out(), name="convq")(
                 jnp.concatenate([r * h, x], axis=-1)
             )
@@ -82,19 +87,21 @@ class ContextConvGRU(nn.Module):
 class BasicMotionEncoder(nn.Module):
     corr_levels: int = 4
     corr_radius: int = 4
+    dtype: object = None
 
     @nn.compact
     def __call__(self, flow, corr):
-        c = nn.relu(nn.Conv(64, (1, 1), kernel_init=he_out())(corr))
-        c = nn.relu(nn.Conv(64, (3, 3), padding=1, kernel_init=he_out())(c))
-        f = nn.relu(nn.Conv(64, (7, 7), padding=3, kernel_init=he_out())(flow))
-        f = nn.relu(nn.Conv(64, (3, 3), padding=1, kernel_init=he_out())(f))
+        dt = self.dtype
+        c = nn.relu(nn.Conv(64, (1, 1), kernel_init=he_out(), dtype=dt)(corr))
+        c = nn.relu(nn.Conv(64, (3, 3), padding=1, kernel_init=he_out(), dtype=dt)(c))
+        f = nn.relu(nn.Conv(64, (7, 7), padding=3, kernel_init=he_out(), dtype=dt)(flow))
+        f = nn.relu(nn.Conv(64, (3, 3), padding=1, kernel_init=he_out(), dtype=dt)(f))
         out = nn.relu(
-            nn.Conv(128 - 2, (3, 3), padding=1, kernel_init=he_out())(
+            nn.Conv(128 - 2, (3, 3), padding=1, kernel_init=he_out(), dtype=dt)(
                 jnp.concatenate([c, f], axis=-1)
             )
         )
-        return jnp.concatenate([out, flow], axis=-1)
+        return jnp.concatenate([out, flow.astype(out.dtype)], axis=-1)
 
 
 class MultiUpdateBlock(nn.Module):
@@ -106,6 +113,7 @@ class MultiUpdateBlock(nn.Module):
     corr_radius: int = 4
     n_gru_layers: int = 3
     n_downsample: int = 2
+    dtype: object = None
 
     @nn.compact
     def __call__(self, net, inp, corr=None, flow=None,
@@ -113,39 +121,42 @@ class MultiUpdateBlock(nn.Module):
         net = list(net)
         hd = self.hidden_dims
         if iter32 and self.n_gru_layers == 3:
-            net[2] = ContextConvGRU(hd[0], name="gru32")(
+            net[2] = ContextConvGRU(hd[0], dtype=self.dtype, name="gru32")(
                 net[2], inp[2], pool2x(net[1])
             )
         if iter16 and self.n_gru_layers >= 2:
             if self.n_gru_layers > 2:
-                net[1] = ContextConvGRU(hd[1], name="gru16")(
+                net[1] = ContextConvGRU(hd[1], dtype=self.dtype, name="gru16")(
                     net[1], inp[1], pool2x(net[0]), interp_to(net[2], net[1])
                 )
             else:
-                net[1] = ContextConvGRU(hd[1], name="gru16")(
+                net[1] = ContextConvGRU(hd[1], dtype=self.dtype, name="gru16")(
                     net[1], inp[1], pool2x(net[0])
                 )
         if iter08:
             motion = BasicMotionEncoder(
-                self.corr_levels, self.corr_radius, name="encoder"
+                self.corr_levels, self.corr_radius, dtype=self.dtype,
+                name="encoder",
             )(flow, corr)
             if self.n_gru_layers > 1:
-                net[0] = ContextConvGRU(hd[2], name="gru08")(
+                net[0] = ContextConvGRU(hd[2], dtype=self.dtype, name="gru08")(
                     net[0], inp[0], motion, interp_to(net[1], net[0])
                 )
             else:
-                net[0] = ContextConvGRU(hd[2], name="gru08")(
+                net[0] = ContextConvGRU(hd[2], dtype=self.dtype, name="gru08")(
                     net[0], inp[0], motion
                 )
         if not update:
             return net
-        delta_flow = FlowHead(name="flow_head")(net[0])
+        delta_flow = FlowHead(dtype=self.dtype, name="flow_head")(net[0])
         factor = 2 ** self.n_downsample
         m = nn.relu(
             nn.Conv(256, (3, 3), padding=1, kernel_init=he_out(),
-                    name="mask_conv1")(net[0])
+                    dtype=self.dtype, name="mask_conv1")(net[0])
         )
+        # mask logits feed a softmax (probability math stays f32)
         mask = 0.25 * nn.Conv(
-            factor * factor * 9, (1, 1), kernel_init=he_out(), name="mask_conv2"
+            factor * factor * 9, (1, 1), kernel_init=he_out(),
+            dtype=jnp.float32, name="mask_conv2",
         )(m)
         return net, mask, delta_flow

@@ -86,3 +86,73 @@ def test_raft_trainable_via_trainer():
     assert np.isfinite(loss) and np.isfinite(epe)
     v = tr.validate(None, 0)
     assert np.isfinite(v)
+
+
+class TestGroupNormNHWC:
+    """GroupNormNHWC (reshape-free TPU form) must match flax.linen.GroupNorm
+    in value and gradient — it replaces it inside every RAFT encoder norm."""
+
+    @pytest.mark.parametrize("groups,affine", [(4, True), (32, False), (1, True)])
+    def test_value_and_grad_parity(self, groups, affine):
+        import flax.linen as nn
+        from stereoformer_tpu.nn.raft.encoders import GroupNormNHWC
+
+        rng = np.random.RandomState(1)
+        x = jnp.asarray(rng.randn(2, 5, 7, 32).astype(np.float32) * 3 + 1)
+        ref = nn.GroupNorm(num_groups=groups, use_scale=affine, use_bias=affine)
+        new = GroupNormNHWC(num_groups=groups, use_scale=affine, use_bias=affine)
+        vref = ref.init(jax.random.PRNGKey(0), x)
+        # param trees are identical by construction (scale/bias of shape [C])
+        yref = ref.apply(vref, x)
+        ynew = new.apply(vref, x)
+        assert ynew.shape == yref.shape and ynew.dtype == yref.dtype
+        np.testing.assert_allclose(np.asarray(ynew), np.asarray(yref), rtol=2e-5, atol=2e-6)
+
+        def loss_ref(v, x):
+            return jnp.sum(jnp.sin(ref.apply(v, x)))
+
+        def loss_new(v, x):
+            return jnp.sum(jnp.sin(new.apply(v, x)))
+
+        gref = jax.grad(loss_ref, argnums=(0, 1))(vref, x)
+        gnew = jax.grad(loss_new, argnums=(0, 1))(vref, x)
+        for a, b in zip(jax.tree.leaves(gref), jax.tree.leaves(gnew)):
+            np.testing.assert_allclose(np.asarray(b), np.asarray(a), rtol=5e-5, atol=2e-5)
+
+    def test_bf16_promotion_matches_flax(self):
+        import flax.linen as nn
+        from stereoformer_tpu.nn.raft.encoders import GroupNormNHWC
+
+        rng = np.random.RandomState(2)
+        x = jnp.asarray(rng.randn(2, 4, 4, 16).astype(np.float32)).astype(jnp.bfloat16)
+        for kw in (dict(use_scale=True, use_bias=True), dict(use_scale=False, use_bias=False)):
+            ref = nn.GroupNorm(num_groups=4, **kw)
+            new = GroupNormNHWC(num_groups=4, **kw)
+            v = ref.init(jax.random.PRNGKey(0), x)
+            yref = ref.apply(v, x)
+            ynew = new.apply(v, x)
+            assert ynew.dtype == yref.dtype
+            np.testing.assert_allclose(
+                np.asarray(ynew, np.float32), np.asarray(yref, np.float32), rtol=2e-2, atol=2e-2
+            )
+
+
+def test_bf16_dtype_path(setup):
+    """dtype=bf16 RAFT runs end-to-end; coordinates/flow-head/mask stay f32
+    and the outputs track the f32 model on an untrained init."""
+    _, variables, left, right = setup
+    model32 = RAFTStereo()
+    model16 = RAFTStereo(dtype=jnp.bfloat16)
+    out32 = model32.apply(variables, left, right, iters=2, test_mode=True, train=False)
+    out16 = model16.apply(variables, left, right, iters=2, test_mode=True, train=False)
+    d32 = out32["disparities"][-1]
+    d16 = out16["disparities"][-1]
+    assert d16.dtype == jnp.float32  # coordinate math stays f32
+    assert d16.shape == d32.shape
+    assert np.isfinite(np.asarray(d16)).all()
+    # relative agreement: untrained outputs are O(100) here and chaotic, so
+    # bound the relative error and require strong correlation
+    scale = float(jnp.max(jnp.abs(d32))) + 1.0
+    assert float(jnp.max(jnp.abs(d16 - d32))) / scale < 0.10
+    cc = np.corrcoef(np.asarray(d32).ravel(), np.asarray(d16).ravel())[0, 1]
+    assert cc > 0.99
