@@ -50,9 +50,23 @@ class GroupNormNHWC(nn.Module):
         G = self.num_groups
         assert C % G == 0, (C, G)
         spatial = tuple(range(1, x.ndim - 1))
-        xf = x.astype(jnp.float32)
-        s1 = jnp.mean(xf, axis=spatial)                      # [N, C]
-        s2 = jnp.mean(jnp.square(xf), axis=spatial)          # [N, C]
+        # Moments as dot_generals, not reduces.  A spatial `reduce` of a
+        # conv-layout activation makes XLA materialise an f32 copy in the
+        # reduce's preferred layout (571 MB + a layout copy per norm at
+        # 4x576x960x64 — measured 8.3 ms/norm in-model); dots are
+        # layout-flexible and accumulate in f32 straight from the bf16
+        # activation in its native layout.
+        n_spatial = 1
+        for d in spatial:
+            n_spatial *= x.shape[d]
+        ones = [jnp.ones((x.shape[d],), x.dtype) for d in spatial]
+        sub = "".join(chr(ord("h") + i) for i in range(len(spatial)))
+        s1 = jnp.einsum(
+            f"n{sub}c," + ",".join(sub) + "->nc", x, *ones,
+            preferred_element_type=jnp.float32) / n_spatial
+        s2 = jnp.einsum(
+            f"n{sub}c,n{sub}c->nc", x, x,
+            preferred_element_type=jnp.float32) / n_spatial
         m1 = s1.reshape(-1, G, C // G).mean(-1)              # [N, G]
         m2 = s2.reshape(-1, G, C // G).mean(-1)
         var = jnp.maximum(m2 - jnp.square(m1), 0.0)
