@@ -1,0 +1,83 @@
+"""Fused stride-1 conv2d Pallas kernel vs the XLA conv (interpret mode).
+
+Covers the RAFT encoder shapes the kernel targets (reference
+models/IterativeLocalCostVolume/extractor/extractor.py:140-169): 3x3
+same-channel residual-block convs with fused bias/residual/ReLU, plus
+odd-channel and 1x1 edge cases, in value and gradient.
+"""
+
+import numpy as np
+import pytest
+import jax
+import jax.numpy as jnp
+
+from stereoformer_tpu.ops.pallas.conv2d import conv2d_fused, _reference
+
+
+CASES = [
+    # kh, kw, C, Co, H, W, relu, residual
+    (3, 3, 64, 64, 24, 40, True, True),
+    (3, 3, 64, 64, 24, 40, True, False),
+    (7, 7, 3, 64, 24, 40, True, False),
+    (3, 3, 16, 32, 19, 40, False, False),   # H not a tile multiple
+    (1, 1, 64, 64, 24, 40, True, False),
+]
+
+
+def _case(kh, kw, c, co, h, w, res, seed=0):
+    rng = np.random.RandomState(seed)
+    x = jnp.asarray(rng.randn(2, h, w, c).astype(np.float32))
+    wt = jnp.asarray(0.1 * rng.randn(kh, kw, c, co).astype(np.float32))
+    b = jnp.asarray(0.1 * rng.randn(co).astype(np.float32))
+    r = jnp.asarray(rng.randn(2, h, w, co).astype(np.float32)) if res else None
+    return x, wt, b, r
+
+
+@pytest.mark.parametrize("kh,kw,c,co,h,w,relu,res", CASES)
+def test_conv2d_fused_value(kh, kw, c, co, h, w, relu, res):
+    x, wt, b, r = _case(kh, kw, c, co, h, w, res)
+    got = conv2d_fused(x, wt, b, r, relu, 8, True)
+    want = _reference(x, wt, b, r, relu)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=2e-5)
+
+
+@pytest.mark.parametrize("kh,kw,c,co,h,w,relu,res", CASES)
+def test_conv2d_fused_grads(kh, kw, c, co, h, w, relu, res):
+    x, wt, b, r = _case(kh, kw, c, co, h, w, res, seed=1)
+
+    def f_ker(x, wt, b):
+        return jnp.sum(jnp.sin(conv2d_fused(x, wt, b, r, relu, 8, True)))
+
+    def f_ref(x, wt, b):
+        return jnp.sum(jnp.sin(_reference(x, wt, b, r, relu)))
+
+    ga = jax.grad(f_ker, argnums=(0, 1, 2))(x, wt, b)
+    gb = jax.grad(f_ref, argnums=(0, 1, 2))(x, wt, b)
+    for a, want in zip(ga, gb):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(want), atol=2e-4)
+
+
+def test_conv2d_fused_residual_grad_flows():
+    x, wt, b, r = _case(3, 3, 16, 16, 16, 24, True, seed=2)
+
+    def f(r):
+        return jnp.sum(conv2d_fused(x, wt, b, r, True, 8, True))
+
+    def g(r):
+        return jnp.sum(_reference(x, wt, b, r, True))
+
+    np.testing.assert_allclose(
+        np.asarray(jax.grad(f)(r)), np.asarray(jax.grad(g)(r)), atol=2e-4
+    )
+
+
+def test_conv2d_fused_matches_flax_conv_layout():
+    """HWIO weights + NHWC activations == flax nn.Conv semantics."""
+    import flax.linen as nn
+
+    x, wt, b, _ = _case(3, 3, 8, 12, 16, 24, False)
+    conv = nn.Conv(12, (3, 3), padding="SAME")
+    params = {"params": {"kernel": wt, "bias": b}}
+    want = conv.apply(params, x)
+    got = conv2d_fused(x, wt, b, None, False, 8, True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=2e-5)
