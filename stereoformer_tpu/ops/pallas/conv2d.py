@@ -82,16 +82,19 @@ def _kernel(x_hbm, w_ref, b_ref, *rest, kh: int, kw: int, th: int, nh: int,
     Wout = out_ref.shape[2]
     Co = out_ref.shape[3]
     acc = jnp.zeros((th, Wout, Co), jnp.float32)
-    # one MXU matmul per tap, f32 accumulation in vregs (Mosaic cannot
-    # yet concatenate lane-shifted views into a single wide-K strip —
-    # "result/input offset mismatch on non-concat dimension")
-    for di in range(kh):
-        for dj in range(kw):
-            acc = acc + jax.lax.dot_general(
-                xb[di : di + th, dj : dj + Wout, :], w_ref[di, dj],
-                dimension_numbers=(((2,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32,
-            )
+    # One MXU matmul per kernel COLUMN, with the kh row-taps packed into
+    # the N dim (w_ref[dj] is [C, kh*Co]): Co=64 alone fills only half
+    # the 128-wide MXU output, so packing row-taps doubles utilisation.
+    # Row-tap results then combine as H-shifted adds (dim 0 is untiled —
+    # free) with lane-offset slices (vector relayout, cheap vs a matmul).
+    for dj in range(kw):
+        p = jax.lax.dot_general(
+            xb[:, dj : dj + Wout, :], w_ref[dj],
+            dimension_numbers=(((2,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )                                           # [TH+kh-1, Wout, kh*Co]
+        for di in range(kh):
+            acc = acc + p[di : di + th, :, di * Co : (di + 1) * Co]
     acc = acc + b_ref[:].astype(jnp.float32)
     if has_residual:
         acc = acc + res_ref[0].astype(jnp.float32)
@@ -132,6 +135,8 @@ def _forward(x, w, b, residual, relu: bool, tile_h: int, interpret: bool):
     xp = jnp.pad(x, ((0, 0), (ph, ph + nh * th - H),
                      (pw, wp_full - W - pw), (0, cp - C)))
     w = jnp.pad(w, ((0, 0), (0, 0), (0, cp - C), (0, 0)))
+    # pack the kh row-taps into the N dim: wall[dj] = [C, kh*Co]
+    w = jnp.concatenate([w[di] for di in range(kh)], axis=-1)
     args = [xp, w, b]
     in_specs = [
         pl.BlockSpec(memory_space=pltpu.ANY),       # slab-DMA'd in-kernel
