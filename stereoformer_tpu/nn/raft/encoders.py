@@ -18,6 +18,8 @@ import flax.linen as nn
 import jax
 import jax.numpy as jnp
 
+from ..blocks import FusedConv
+
 he_out = lambda: nn.initializers.variance_scaling(2.0, "fan_out", "truncated_normal")
 
 
@@ -136,12 +138,19 @@ class RaftResidualBlock(nn.Module):
     @nn.compact
     def __call__(self, x, train: bool = True):
         dt = self.dtype
-        y = nn.Conv(self.features, (3, 3), strides=self.stride, padding=1,
-                    kernel_init=he_out(), dtype=dt)(x)
+        # stride-1 3x3 convs route to the fused Pallas kernel on TPU
+        # (FusedConv keeps nn.Conv's param tree; explicit names preserve
+        # the auto-assigned Conv_0/Conv_1 so checkpoints restore as-is)
+        if self.stride == 1:
+            y = FusedConv(self.features, 3, kernel_init=he_out(), dtype=dt,
+                          name="Conv_0")(x)
+        else:
+            y = nn.Conv(self.features, (3, 3), strides=self.stride, padding=1,
+                        kernel_init=he_out(), dtype=dt, name="Conv_0")(x)
         y = _Norm(self.norm, self.features, dt)(y, train)
         y = nn.relu(y)
-        y = nn.Conv(self.features, (3, 3), padding=1, kernel_init=he_out(),
-                    dtype=dt)(y)
+        y = FusedConv(self.features, 3, kernel_init=he_out(), dtype=dt,
+                      name="Conv_1")(y)
         y = _Norm(self.norm, self.features, dt)(y, train)
         y = nn.relu(y)
         if self.stride != 1 or x.shape[-1] != self.features:
@@ -247,8 +256,8 @@ class MultiBasicEncoder(nn.Module):
                     h = RaftResidualBlock(
                         128, self.norm, 1, dtype=dt, name=f"out{lvl}_{head}_res"
                     )(h, train)
-                h = nn.Conv(dims[lvl], (3, 3), padding=1, kernel_init=he_out(),
-                            dtype=dt, name=f"out{lvl}_{head}_conv")(h)
+                h = FusedConv(dims[lvl], 3, kernel_init=he_out(), dtype=dt,
+                              name=f"out{lvl}_{head}_conv")(h)
                 pair.append(h)
             outputs.append(tuple(pair))
         return outputs

@@ -197,12 +197,20 @@ def _fwd(x, w, b, residual, relu, tile_h, interpret):
 
 def _bwd(relu, tile_h, interpret, res, g):
     x, w, b, residual = res
+
+    # Differentiate an explicit-f32 formulation: conv_general_dilated's
+    # transpose rule rejects the mixed-dtype cotangents that
+    # ``preferred_element_type=f32`` + bf16 operands produce (f32 dy
+    # against bf16 w).  The input casts' transposes round dx/dw back to
+    # the input dtypes, so callers still see grads in their own dtype.
+    def f32_ref(*args):
+        cast = [None if a is None else a.astype(jnp.float32) for a in args]
+        return _reference(*cast, relu).astype(x.dtype)
+
     if residual is None:
-        _, vjp = jax.vjp(lambda x, w, b: _reference(x, w, b, None, relu), x, w, b)
+        _, vjp = jax.vjp(lambda x, w, b: f32_ref(x, w, b, None), x, w, b)
         return (*vjp(g), None)
-    _, vjp = jax.vjp(
-        lambda x, w, b, r: _reference(x, w, b, r, relu), x, w, b, residual
-    )
+    _, vjp = jax.vjp(f32_ref, x, w, b, residual)
     return vjp(g)
 
 

@@ -71,6 +71,23 @@ def test_conv2d_fused_residual_grad_flows():
     )
 
 
+def test_conv2d_fused_bf16_grads_mixed_dtype_cotangent():
+    """bf16 params + f32 loss: the VJP must survive the f32 cotangents
+    that conv_general_dilated's transpose rejects when combined with
+    preferred_element_type (regression: TPU train step with dtype=bf16)."""
+    x, wt, b, _ = _case(3, 3, 16, 16, 16, 24, False)
+    x, wt, b = x.astype(jnp.bfloat16), wt.astype(jnp.bfloat16), b.astype(jnp.bfloat16)
+
+    def f(x, wt, b):
+        y = conv2d_fused(x, wt, b, None, True, 8, True)
+        return jnp.mean(jnp.square(y.astype(jnp.float32)))
+
+    grads = jax.grad(f, argnums=(0, 1, 2))(x, wt, b)
+    for g, ref in zip(grads, (x, wt, b)):
+        assert g.dtype == ref.dtype
+        assert bool(jnp.all(jnp.isfinite(g.astype(jnp.float32))))
+
+
 def test_conv2d_fused_matches_flax_conv_layout():
     """HWIO weights + NHWC activations == flax nn.Conv semantics."""
     import flax.linen as nn
