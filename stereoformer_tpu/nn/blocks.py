@@ -67,14 +67,17 @@ class FusedConv(nn.Module):
         kernel = kernel.astype(dt)
         bias = bias.astype(dt)
         residual = None if residual is None else residual.astype(dt)
-        # auto: the kernel wins where C < 128 leaves XLA's conv emitter
-        # doing layout gymnastics (64ch full-res 1.34x, 96ch half-res
-        # 1.14x); at C >= 128 XLA's emitter reaches ~70 TF/s and wins
-        # (128ch 1/4-res 0.74x) — measured v5e, see ops/pallas/conv2d.py
+        # auto: the pad-free kernel beats XLA's *isolated* conv emitter
+        # up to C=128 (64ch full-res 1.7x, 96ch half-res 1.26x, 128ch
+        # 1.07-1.44x) and ties at 256 — but in-model XLA fuses a conv
+        # with its norm/ReLU consumers, which flips C>=128 back in XLA's
+        # favour (RAFT eval: 122.6 ms with C<=96 vs 125.3 with C<=128);
+        # C<64 underfills the MXU contraction.  Measured v5e, see
+        # ops/pallas/conv2d.py.
         use_pallas = self.impl == "pallas" or (
             self.impl == "auto"
             and jax.default_backend() == "tpu"
-            and x.shape[-1] <= 96
+            and 64 <= x.shape[-1] <= 96
         )
         if use_pallas:
             from ..ops.pallas.conv2d import conv2d_fused
@@ -212,6 +215,13 @@ class ResBlock(nn.Module):
         if self.stride != 1 or x.shape[-1] != self.features:
             residual = conv(self.features, 1, self.stride, "shortcut_conv")(x)
             residual = norm()(residual)
+        # NOT routed to the Pallas conv kernel: in-model XLA fuses each
+        # conv with its BatchNorm+ReLU consumers here and beats the
+        # kernel (measured: flagship eval 260 -> 249 pairs/s with
+        # FusedConv in these blocks, despite the kernel winning the
+        # isolated [16,144,240,128] conv 1.24x).  The RAFT encoders'
+        # group/instance norms don't give XLA the same fusion, which is
+        # where FusedConv lives (nn/raft/encoders.py).
         out = conv(self.features, self.kernel_size, self.stride)(x)
         out = norm()(out)
         out = nn.relu(out)

@@ -9,22 +9,32 @@ splits W into 8 overlapping slabs, transposes activations to an H-major
 selects and full-size layout copies — measured ~8.3 ms + ~4.5 ms of
 copies per 163-GFLOP conv (~5% MFU) at B=4.
 
-This kernel instead keeps the native NHWC layout and streams
-overlapping H-slabs (kh-1 halo rows) from HBM into a double-buffered
-VMEM scratch with explicit DMAs — Mosaic cannot express overlapping
-windows as pipelined BlockSpecs (Element-indexed specs pin the whole
-operand in VMEM), and DMA slices must be tile-aligned on the two minor
-dims, so W is padded to a multiple of 8 and C zero-padded to 128
-(free: K=64 would idle half the 128-deep MXU and zero weight rows
-contribute exactly 0).  Each tap is one MXU dot_general with f32
-accumulation; bias, the residual add, and ReLU fuse into the epilogue
-and the output is written once in bf16 — no intermediate full-size
-tensors ever reach HBM.
+This kernel keeps the native NHWC layout and tiles H with standard
+*pipelined* BlockSpecs.  Overlapping (halo) windows cannot be expressed
+directly — Element-indexed specs pin the whole operand in VMEM, and
+manual DMA slices must be tile-aligned on the two minor dims, which a
+kh-1-row halo never is — so the halo arrives as 2*ph extra one-row
+operands of the SAME array whose index_maps point at the neighbouring
+rows (a one-row block can address any row).  Out-of-range neighbour
+rows are zeroed in-kernel from ``program_id``, reproducing SAME zero
+padding without materialising a padded copy of the activation in HBM
+(an XLA ``pad`` feeding a custom call cannot fuse — measured 1.7 ms per
+conv at [4,578,968,128], as expensive as the conv itself).
 
-Measured (v5e, bf16 B=4 @ 576x960): 3x3 64->64 8.8 ms vs XLA 10.7 ms;
-with fused residual+ReLU 10.2 ms vs XLA 19.4 ms (1.9x — XLA
-materialises the residual add).  The 7x7 RGB stem loses (C=3->128
-padding waste, 25 ms vs 6.5 ms XLA) and stays on XLA.
+Compute: one MXU ``dot_general`` per kernel *column*, with the kh
+row-taps packed into the N dim (w[dj] is [C, kh*Co]) — Co=64 alone
+fills only half the 128-wide MXU output; row-tap results combine as
+free untiled-dim row shifts + lane-slice adds.  C is NOT padded to the
+128 lane tile: K=C=64 leaves half the contraction depth idle, but the
+N=kh*Co packing already saturates the MXU columns, so padding K buys
+nothing and doubles the bytes.  Accumulation is f32; bias, the residual
+add, and ReLU fuse into the epilogue; the output is written once in
+bf16.
+
+Measured (v5e, bf16 B=4 @ 576x960, in-model): 3x3 64->64 ~2.8 ms vs
+XLA ~10.7 ms isolated / ~13 ms with its layout copies.  The 7x7 RGB
+stem stays on XLA (3-channel contraction; XLA's
+InputFeaturePackedInSublanes emitter is the best known lowering).
 
 Backward: custom VJP that differentiates the equivalent XLA conv
 (jax.vjp over ``_reference``), so gradients are exactly the XLA conv
@@ -44,57 +54,66 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 
-def _kernel(x_hbm, w_ref, b_ref, *rest, kh: int, kw: int, th: int, nh: int,
-            relu: bool, has_residual: bool, out_dtype):
+def _kernel(*refs, kh: int, kw: int, th: int, nh: int, relu: bool,
+            has_residual: bool, out_dtype):
+    ph = (kh - 1) // 2
+    mid_ref = refs[0]
+    prevs = refs[1 : 1 + ph]
+    nexts = refs[1 + ph : 1 + 2 * ph]
+    w_ref, b_ref = refs[1 + 2 * ph : 3 + 2 * ph]
+    rest = refs[3 + 2 * ph :]
     if has_residual:
-        res_ref, out_ref, scratch, sems = rest
+        res_ref, out_ref = rest
     else:
-        out_ref, scratch, sems = rest
-    bi = pl.program_id(0)
+        (out_ref,) = rest
+
     i = pl.program_id(1)
-    nb = pl.num_programs(0)
-    k = bi * nh + i
+    hp = nh * th
+    rows = []
+    # neighbour rows, zeroed where the index_map had to clamp at an edge
+    # (reproduces SAME zero padding without a materialised HBM pad)
+    for j in range(ph, 0, -1):
+        rows.append(jnp.where(i * th - j < 0, 0.0, prevs[j - 1][0]))
+    rows.append(mid_ref[0])
+    for j in range(1, ph + 1):
+        rows.append(jnp.where(i * th + th - 1 + j > hp - 1, 0.0,
+                              nexts[j - 1][0]))
+    xb = jnp.concatenate(rows, axis=0) if len(rows) > 1 else rows[0]
 
-    # x stays in HBM; each step DMAs its halo'd H-slab into a VMEM
-    # scratch slot.  Overlapping slabs cannot be expressed as a
-    # pipelined BlockSpec (Element-indexed specs pin the whole operand
-    # in VMEM — OOMs past ~H=256 at W=960), so the slab fetch is a
-    # manual double-buffered DMA across sequential grid steps.
-    def slab_dma(slot, step):
-        b2 = step // nh
-        i2 = step - b2 * nh
-        return pltpu.make_async_copy(
-            x_hbm.at[b2, pl.ds(i2 * th, th + kh - 1)],
-            scratch.at[slot],
-            sems.at[slot],
-        )
-
-    @pl.when(k == 0)
-    def _():
-        slab_dma(0, 0).start()
-
-    @pl.when(k + 1 < nb * nh)
-    def _():
-        slab_dma((k + 1) % 2, k + 1).start()
-
-    slab_dma(k % 2, k).wait()
-    xb = scratch[k % 2]                             # [TH+kh-1, W+kw-1, C]
     Wout = out_ref.shape[2]
     Co = out_ref.shape[3]
+    pw = (kw - 1) // 2
     acc = jnp.zeros((th, Wout, Co), jnp.float32)
-    # One MXU matmul per kernel COLUMN, with the kh row-taps packed into
-    # the N dim (w_ref[dj] is [C, kh*Co]): Co=64 alone fills only half
-    # the 128-wide MXU output, so packing row-taps doubles utilisation.
-    # Row-tap results then combine as H-shifted adds (dim 0 is untiled —
-    # free) with lane-offset slices (vector relayout, cheap vs a matmul).
+    # One full-width MXU matmul per kernel COLUMN, with the kh row-taps
+    # packed into the N dim (w_ref[dj] is [C, kh*Co]).  The column shift
+    # lives in the accumulator update, not the input (an input W-slice
+    # is a sublane relayout per tap, and pre-padding W costs a
+    # materialised HBM pad): out col w takes in col w+dj-pw, so each tap
+    # adds p over a statically-shifted column range and the edge columns
+    # receive exactly their valid taps — SAME zero padding for free.
+    # Row taps combine as free untiled-dim row shifts + lane slices.
     for dj in range(kw):
         p = jax.lax.dot_general(
-            xb[:, dj : dj + Wout, :], w_ref[dj],
+            xb, w_ref[dj],
             dimension_numbers=(((2,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
-        )                                           # [TH+kh-1, Wout, kh*Co]
+        )                                           # [TH+kh-1, W, kh*Co]
+        d = dj - pw
+        o0 = max(0, -d)
+        n = Wout - abs(d)
         for di in range(kh):
-            acc = acc + p[di : di + th, :, di * Co : (di + 1) * Co]
+            seg = p[di : di + th, :, di * Co : (di + 1) * Co]
+            if d == 0:
+                acc = acc + seg
+                continue
+            # addend[w] = seg[w+d] on the valid range, else 0 — a sublane
+            # roll + iota mask (dynamic_update_slice has no TPU lowering)
+            col = jax.lax.broadcasted_iota(jnp.int32, acc.shape, 1)
+            acc = acc + jnp.where(
+                (col >= o0) & (col < o0 + n),
+                pltpu.roll(seg, shift=(-d) % Wout, axis=1),
+                0.0,
+            )
     acc = acc + b_ref[:].astype(jnp.float32)
     if has_residual:
         acc = acc + res_ref[0].astype(jnp.float32)
@@ -123,23 +142,38 @@ def _forward(x, w, b, residual, relu: bool, tile_h: int, interpret: bool):
     ph, pw = (kh - 1) // 2, (kw - 1) // 2
     th = min(tile_h, H)
     nh = -(-H // th)
-    # Mosaic DMA slices must be tile-aligned on the two minor dims
-    # ((8, 128) for bf16) while the H dim is untiled and slices freely —
-    # so the halo'd H-slab fetch is legal only once W is padded to a
-    # multiple of 8 and C to a multiple of 128.  The C zero-pad is free
-    # compute: K=64 would leave half the 128-deep MXU idle anyway, and
-    # zero weight rows contribute exactly 0 to the f32 accumulator.
-    wp_full = -(-(W + kw - 1) // 8) * 8
-    cp = -(-C // 128) * 128 if not interpret else C
-    # pad W for the halo and H both for the halo and up to a tile multiple
-    xp = jnp.pad(x, ((0, 0), (ph, ph + nh * th - H),
-                     (pw, wp_full - W - pw), (0, cp - C)))
-    w = jnp.pad(w, ((0, 0), (0, 0), (0, cp - C), (0, 0)))
+    wp = W
+    # Only the H tail (to a tile multiple) is ever padded — typically a
+    # no-op.  W and C are NOT padded: the column halo lives in the
+    # accumulator update and the row halo in the side blocks, so no
+    # materialised HBM pad (measured 1.7 ms per conv at full res, as
+    # expensive as the conv itself) survives in the graph.
+    xp = jnp.pad(x, ((0, 0), (0, nh * th - H), (0, 0), (0, 0))) \
+        if nh * th != H else x
     # pack the kh row-taps into the N dim: wall[dj] = [C, kh*Co]
     w = jnp.concatenate([w[di] for di in range(kh)], axis=-1)
-    args = [xp, w, b]
-    in_specs = [
-        pl.BlockSpec(memory_space=pltpu.ANY),       # slab-DMA'd in-kernel
+
+    mid = pl.BlockSpec((1, th, wp, C), lambda bi, i: (bi, i, 0, 0),
+                       memory_space=pltpu.VMEM)
+    # the same array is passed again for each halo row; a one-row block's
+    # index_map can address any row (clamped at edges, zeroed in-kernel)
+    side = []
+    hp = nh * th
+    for j in range(1, ph + 1):
+        side.append(pl.BlockSpec(
+            (1, 1, wp, C),
+            lambda bi, i, j=j: (bi, jnp.maximum(i * th - j, 0), 0, 0),
+            memory_space=pltpu.VMEM,
+        ))
+    for j in range(1, ph + 1):
+        side.append(pl.BlockSpec(
+            (1, 1, wp, C),
+            lambda bi, i, j=j: (
+                bi, jnp.minimum(i * th + th - 1 + j, hp - 1), 0, 0),
+            memory_space=pltpu.VMEM,
+        ))
+    args = [xp] + [xp] * (2 * ph) + [w, b]
+    in_specs = [mid] + side + [
         pl.BlockSpec(memory_space=pltpu.VMEM),
         pl.BlockSpec(memory_space=pltpu.VMEM),
     ]
@@ -160,14 +194,10 @@ def _forward(x, w, b, residual, relu: bool, tile_h: int, interpret: bool):
         in_specs=in_specs,
         out_specs=pl.BlockSpec((1, th, W, Co), lambda bi, i: (bi, i, 0, 0),
                                memory_space=pltpu.VMEM),
-        scratch_shapes=[
-            pltpu.VMEM((2, th + kh - 1, wp_full, cp), x.dtype),
-            pltpu.SemaphoreType.DMA((2,)),
-        ],
         compiler_params=pltpu.CompilerParams(
             # the default 16 MB scoped-vmem stack is marginal once the
-            # double-buffered slab scratch + pipelined out/residual
-            # windows + the f32 accumulator coexist
+            # pipelined in/out/residual windows + the f32 tap matrix +
+            # accumulator coexist
             vmem_limit_bytes=100 * 1024 * 1024,
         ),
         cost_estimate=pl.CostEstimate(
@@ -177,12 +207,12 @@ def _forward(x, w, b, residual, relu: bool, tile_h: int, interpret: bool):
         ),
         interpret=interpret,
     )(*args)
-    return out[:, :H]
+    return out[:, :H] if nh * th != H else out
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6))
 def conv2d_fused(x, w, b, residual=None, relu: bool = True,
-                 tile_h: int = 8, interpret: bool = False):
+                 tile_h: int = 16, interpret: bool = False):
     """Fused stride-1 SAME conv + bias (+residual) (+ReLU), NHWC/HWIO.
 
     Accumulates in f32, writes ``x.dtype`` once; gradients are the XLA
