@@ -36,9 +36,11 @@ XLA ~10.7 ms isolated / ~13 ms with its layout copies.  The 7x7 RGB
 stem stays on XLA (3-channel contraction; XLA's
 InputFeaturePackedInSublanes emitter is the best known lowering).
 
-Backward: custom VJP that differentiates the equivalent XLA conv
-(jax.vjp over ``_reference``), so gradients are exactly the XLA conv
-gradients the training path already uses.
+Backward: hand-written VJP.  dx is itself a stride-1 SAME conv (rot180
+weights, io-transposed) and rides THIS kernel; dw/db are XLA
+contractions.  Values match JAX autodiff of the XLA conv (parity
+tests), except relu'(0)=0 instead of maximum's 1/2 tie split
+(measure-zero, documented at _bwd).
 
 Semantics (parity-tested against XLA in tests/test_pallas_conv2d.py):
   y = relu?(conv2d(x, w, stride=1, SAME-zero-pad) + b + residual?)
@@ -215,33 +217,52 @@ def conv2d_fused(x, w, b, residual=None, relu: bool = True,
                  tile_h: int = 16, interpret: bool = False):
     """Fused stride-1 SAME conv + bias (+residual) (+ReLU), NHWC/HWIO.
 
-    Accumulates in f32, writes ``x.dtype`` once; gradients are the XLA
-    conv gradients (custom VJP over the reference formulation).
+    Accumulates in f32, writes ``x.dtype`` once; the input gradient runs
+    on this same kernel (see ``_bwd``), dw/db on XLA contractions.
     """
     return _forward(x, w, b, residual, relu, tile_h, interpret)
 
 
 def _fwd(x, w, b, residual, relu, tile_h, interpret):
-    return _forward(x, w, b, residual, relu, tile_h, interpret), (x, w, b, residual)
+    out = _forward(x, w, b, residual, relu, tile_h, interpret)
+    return out, (x, w, b, out if relu else None, residual is not None)
 
 
 def _bwd(relu, tile_h, interpret, res, g):
-    x, w, b, residual = res
+    """Hand-written backward so the input gradient ALSO rides the Pallas
+    kernel: for a stride-1 SAME conv, dx is itself a stride-1 SAME conv
+    of the cotangent with the spatially-flipped, io-transposed weights —
+    the exact full-res C<=128 shape class where XLA's conv emitter is
+    slowest (the reason this kernel exists).  dw contracts the batch and
+    spatial dims down to [kh,kw,C,Co] and stays on XLA (a reduce-shaped
+    conv XLA emits well).
 
-    # Differentiate an explicit-f32 formulation: conv_general_dilated's
-    # transpose rule rejects the mixed-dtype cotangents that
-    # ``preferred_element_type=f32`` + bf16 operands produce (f32 dy
-    # against bf16 w).  The input casts' transposes round dx/dw back to
-    # the input dtypes, so callers still see grads in their own dtype.
-    def f32_ref(*args):
-        cast = [None if a is None else a.astype(jnp.float32) for a in args]
-        return _reference(*cast, relu).astype(x.dtype)
+    ReLU deviation (documented): the saved-output mask ``out > 0`` gives
+    the pre-activation gradient 0 at exactly-zero pre-activations, where
+    jnp.maximum's tie-splitting rule would give g/2 — a measure-zero set
+    (grad parity tests pass on random data).
+    """
+    x, w, b, out, has_res = res
+    kh, kw, C, Co = w.shape
+    ph, pw = (kh - 1) // 2, (kw - 1) // 2
 
-    if residual is None:
-        _, vjp = jax.vjp(lambda x, w, b: f32_ref(x, w, b, None), x, w, b)
-        return (*vjp(g), None)
-    _, vjp = jax.vjp(f32_ref, x, w, b, residual)
-    return vjp(g)
+    gpre = jnp.where(out > 0, g, 0).astype(g.dtype) if relu else g
+    db = jnp.sum(gpre.astype(jnp.float32), axis=(0, 1, 2)).astype(b.dtype)
+    # dx: SAME conv of gpre with rot180(w), in/out channels swapped
+    w_rot = jnp.flip(w, axis=(0, 1)).transpose(0, 1, 3, 2)
+    dx = conv2d_fused(
+        gpre, w_rot, jnp.zeros((C,), gpre.dtype), None, False, tile_h,
+        interpret,
+    ).astype(x.dtype)
+    # dw[di,dj,c,co] = sum_{b,h,w} x[b,h+di-ph,w+dj-pw,c] * gpre[b,h,w,co]
+    # — a conv contracting x's batch as the input feature ("CHWN"/"IHWO")
+    dw = jax.lax.conv_general_dilated(
+        x, gpre, (1, 1), [(ph, ph), (pw, pw)],
+        dimension_numbers=("CHWN", "IHWO", "HWNC"),
+        preferred_element_type=jnp.float32,
+    ).astype(w.dtype)
+    dres = gpre if has_res else None
+    return dx, dw, db, dres
 
 
 conv2d_fused.defvjp(_fwd, _bwd)
