@@ -48,10 +48,25 @@ def upsample_convex(
     """
     B, H, W, _ = disp.shape
     f = factor
-    m = mask.reshape(B, H, W, 9, f, f)
-    m = jax.nn.softmax(m, axis=3)
-    nbr = neighborhood9(float(f) * disp)[..., 0]       # [B,H,W,9]
-    up = jnp.einsum("bhwkyx,bhwk->bhwyx", m, nbr)      # [B,H,W,f,f]
+    ff = f * f
+    # Softmax over the 9 neighbours without the [B,H,W,9,f,f] view: the
+    # 9 logits for a sub-pixel live at lanes k·f²+yx, so the k-reduction
+    # is 9 lane-offset slices combined elementwise — one fused XLA
+    # kernel over the flat mask, no 6-D layout copies (the 6-D form cost
+    # ~1 ms of pure `copy` ops per flagship eval step at [8,72,120,576]).
+    m = mask.astype(jnp.float32)
+    logits = [m[..., k * ff : (k + 1) * ff] for k in range(9)]
+    mx = logits[0]
+    for s in logits[1:]:
+        mx = jnp.maximum(mx, s)
+    exps = [jnp.exp(s - mx) for s in logits]
+    den = sum(exps)
+    nbr = neighborhood9(float(f) * disp)[..., 0]       # [B,H,W,9] f32
+    up = sum(
+        e * nbr[..., k : k + 1] for k, e in enumerate(exps)
+    ) / den                                            # [B,H,W,f*f]
+    # depth-to-space on the 9×-smaller blended tensor
+    up = up.reshape(B, H, W, f, f)
     up = jnp.transpose(up, (0, 1, 3, 2, 4))            # [B,H,f,W,f]
     return up.reshape(B, f * H, f * W, 1)
 
