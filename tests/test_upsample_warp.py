@@ -26,6 +26,37 @@ def torch_upsample_convex8(disp_nchw, mask_nchw):
     return up.reshape(N, 1, 8 * H, 8 * W).numpy()
 
 
+def _upsample_convex_plain(disp, mask, f):
+    """Plain-JAX 6-D softmax/einsum formulation (the pre-custom-VJP op)
+    — gradient oracle for the lane-sliced custom VJP."""
+    B, H, W, _ = disp.shape
+    m = mask.reshape(B, H, W, 9, f, f)
+    m = jax.nn.softmax(m.astype(jnp.float32), axis=3)
+    nbr = ops.upsample.neighborhood9(float(f) * disp)[..., 0]
+    up = jnp.einsum("bhwkyx,bhwk->bhwyx", m, nbr)
+    up = jnp.transpose(up, (0, 1, 3, 2, 4))
+    return up.reshape(B, f * H, f * W, 1)
+
+
+@pytest.mark.parametrize("f", [4, 8])
+def test_upsample_convex_grad_parity(f):
+    rng = np.random.RandomState(3)
+    disp = jnp.asarray(rng.rand(2, 5, 7, 1).astype(np.float32) * 20)
+    mask = jnp.asarray(rng.randn(2, 5, 7, 9 * f * f).astype(np.float32))
+
+    def loss_new(d, m):
+        return jnp.sum(jnp.sin(ops.upsample_convex(d, m, f)))
+
+    def loss_ref(d, m):
+        return jnp.sum(jnp.sin(_upsample_convex_plain(d, m, f)))
+
+    ga = jax.grad(loss_new, argnums=(0, 1))(disp, mask)
+    gb = jax.grad(loss_ref, argnums=(0, 1))(disp, mask)
+    for a, want in zip(ga, gb):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(want),
+                                   atol=2e-4, rtol=1e-3)
+
+
 def test_upsample_convex8_matches_torch():
     pytest.importorskip("torch")
     rng = np.random.RandomState(0)
