@@ -157,6 +157,72 @@ def make_wsharded_model_eval(
     return fn
 
 
+def make_wsharded_value_and_grad(
+    mesh: Mesh,
+    loss_map_fn,
+    margin: int,
+    axis_name: str = "data",
+):
+    """W-sharded TRAINING by overlap-and-discard — loss and parameter
+    gradients of the unmodified model with image W partitioned over the
+    mesh (the training side of ``make_wsharded_model_eval``).
+
+    Exactness argument: the global loss is a masked mean of per-pixel
+    terms, and each kept pixel's forward value inside its slab equals
+    the full-width forward wherever ``margin`` covers the receptive
+    field + disparity reach, so its gradient contribution (which flows
+    only through that slab's compute) is also exact; discarded margin
+    columns contribute zero loss, hence no double counting, and the
+    ``psum`` of per-shard parameter grads is the true global gradient.
+    Parity-tested (value + grads) against the unsharded step on the
+    8-device mesh.
+
+    Norm caveat: train-mode BatchNorm computes batch statistics over the
+    local slab (+margins), not the global width — the same per-device
+    statistics approximation the reference's ``DataParallel`` makes per
+    GPU (trainer_DLC_GRU.py:102-106).  Eval-mode BN and the group/
+    instance norms are per-sample exact.
+
+    ``loss_map_fn(params, left, right, gt) -> [B, H, w, 1]`` per-pixel
+    loss map at output resolution (e.g. the weighted sequence-loss map).
+    Returns ``vag(params, left, right, gt, valid) -> (loss, grads)``
+    where ``loss`` is the valid-masked global mean and ``grads`` match
+    ``jax.grad`` of the same unsharded masked mean; inputs are
+    replicated (small next to activations — per-chip activation memory
+    scales with W/n + 2·margin, which is what makes very wide pairs
+    trainable at all).
+    """
+    n = mesh.shape[axis_name]
+
+    def global_mean_loss(params, l, r, gt, valid):
+        def shard(params, l, r, gt, valid):
+            W = l.shape[2]
+            assert W % n == 0 and (W // n) % 8 == 0 and margin % 8 == 0, (
+                "W, W/n and margin must be multiples of 8 for resize "
+                "phase alignment"
+            )
+            Ws = W // n
+            width = min(W, Ws + 2 * margin)
+            i = jax.lax.axis_index(axis_name)
+            start = jnp.clip(i * Ws - margin, 0, W - width)
+            sl = partial(jax.lax.dynamic_slice_in_dim, start_index=start,
+                         slice_size=width, axis=2)
+            lm = loss_map_fn(params, sl(l), sl(r), sl(gt))
+            off = i * Ws - start
+            keep = jax.lax.dynamic_slice_in_dim(lm, off, Ws, axis=2)
+            v = jax.lax.dynamic_slice_in_dim(sl(valid), off, Ws, axis=2)
+            s = jax.lax.psum(jnp.sum(keep * v), axis_name)
+            c = jax.lax.psum(jnp.sum(v), axis_name)
+            return s / jnp.maximum(c, 1.0)
+
+        return jax.shard_map(
+            shard, mesh=mesh, in_specs=(P(), P(), P(), P(), P()),
+            out_specs=P(),
+        )(params, l, r, gt, valid)
+
+    return jax.jit(jax.value_and_grad(global_mean_loss))
+
+
 def make_wsharded_initial_disparity(
     mesh: Mesh,
     max_disp: int,

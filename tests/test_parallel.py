@@ -149,6 +149,54 @@ def test_wsharded_full_model_eval_parity():
     np.testing.assert_allclose(got, ref, atol=2e-3, rtol=0)
 
 
+def test_wsharded_value_and_grad_parity():
+    """Overlap-and-discard TRAINING: W-sharded masked-mean loss and psum'd
+    parameter grads must match the unsharded step (value + every grad
+    leaf) wherever the margin covers receptive field + disparity reach."""
+    from jax.sharding import Mesh
+    from stereoformer_tpu.models import get_model
+    from stereoformer_tpu.parallel.wshard import make_wsharded_value_and_grad
+
+    model = get_model("LowCNN_gru", loop="unroll")
+    B, H, W = 1, 64, 256
+    rng = np.random.RandomState(1)
+    left = jnp.asarray(rng.rand(B, H, W, 3).astype(np.float32))
+    right = jnp.asarray(rng.rand(B, H, W, 3).astype(np.float32))
+    gt = jnp.asarray((rng.rand(B, H, W, 1) * 24).astype(np.float32))
+    valid = jnp.asarray((rng.rand(B, H, W, 1) > 0.2).astype(np.float32))
+    variables = model.init(jax.random.PRNGKey(0), left, right, iters=1,
+                           train=False)
+
+    def loss_map(params, l, r, g):
+        out = model.apply(params, l, r, iters=2, train=False)["disparities"]
+        # weighted sequence-loss map (gamma 0.9, final weight 1.0)
+        return sum(
+            w * jnp.abs(d - g)
+            for w, d in zip((0.9, 1.0), out)
+        )
+
+    def unsharded(params):
+        lm = loss_map(params, left, right, gt)
+        return jnp.sum(lm * valid) / jnp.maximum(jnp.sum(valid), 1.0)
+
+    ref_loss, ref_grads = jax.value_and_grad(unsharded)(variables)
+
+    mesh = Mesh(np.asarray(jax.devices()[:2]), ("data",))
+    vag = make_wsharded_value_and_grad(mesh, loss_map, margin=96)
+    loss, grads = vag(variables, left, right, gt, valid)
+
+    np.testing.assert_allclose(float(loss), float(ref_loss), atol=2e-4)
+    flat_a = jax.tree_util.tree_leaves_with_path(grads)
+    flat_b = dict(jax.tree_util.tree_leaves_with_path(ref_grads))
+    assert len(flat_a) == len(flat_b)
+    for path, g in flat_a:
+        want = flat_b[path]
+        np.testing.assert_allclose(
+            np.asarray(g), np.asarray(want), atol=5e-3,
+            err_msg=str(path),
+        )
+
+
 # -- FSDP / ZeRO-style sharded training state (parallel/fsdp.py) -------------
 
 
