@@ -60,7 +60,7 @@ class FusedConv(nn.Module):
     auto_max_c: int = 96
 
     @nn.compact
-    def __call__(self, x, residual=None):
+    def __call__(self, x, residual=None, prologue=None):
         k = self.kernel_size
         kernel = self.param(
             "kernel", self.kernel_init, (k, k, x.shape[-1], self.features)
@@ -71,6 +71,11 @@ class FusedConv(nn.Module):
         kernel = kernel.astype(dt)
         bias = bias.astype(dt)
         residual = None if residual is None else residual.astype(dt)
+        if prologue is not None:
+            # producer norm+ReLU applied as this conv's input transform:
+            # in = relu(x·s + t), s/t per-sample per-channel f32 [B, C]
+            assert residual is None
+            s, t = (p.astype(jnp.float32) for p in prologue)
         # auto: the pad-free kernel beats XLA's *isolated* conv emitter
         # up to C=128 (64ch full-res 1.7x, 96ch half-res 1.26x, 128ch
         # 1.07-1.44x) and ties at 256 — but in-model XLA fuses a conv
@@ -84,9 +89,16 @@ class FusedConv(nn.Module):
             and 64 <= x.shape[-1] <= self.auto_max_c
         )
         if use_pallas:
-            from ..ops.pallas.conv2d import conv2d_fused
+            from ..ops.pallas.conv2d import conv2d_fused, conv2d_fused_prologue
 
+            if prologue is not None:
+                return conv2d_fused_prologue(x, kernel, bias, s, t, self.relu)
             return conv2d_fused(x, kernel, bias, residual, self.relu)
+        if prologue is not None:
+            x = jnp.maximum(
+                x.astype(jnp.float32) * s[:, None, None, :]
+                + t[:, None, None, :], 0.0,
+            ).astype(dt)
         y = jax.lax.conv_general_dilated(
             x, kernel, (1, 1), [((k - 1) // 2,) * 2] * 2,
             dimension_numbers=("NHWC", "HWIO", "NHWC"),

@@ -47,7 +47,7 @@ class GroupNormNHWC(nn.Module):
     dtype: object = None  # output dtype override (bf16 mixed precision)
 
     @nn.compact
-    def __call__(self, x):
+    def __call__(self, x, stats_only: bool = False):
         C = x.shape[-1]
         G = self.num_groups
         assert C % G == 0, (C, G)
@@ -81,6 +81,14 @@ class GroupNormNHWC(nn.Module):
             scale = self.param("scale", nn.initializers.ones, (C,))
             params.append(scale)
             inv_c = inv_c * scale[None, :]
+        if stats_only:
+            # affine form for a fused consumer prologue (nn.FusedConv):
+            # y = x·s + t with s/t per-sample per-channel f32 [N, C]
+            bias = (
+                self.param("bias", nn.initializers.zeros, (C,))[None, :]
+                if self.use_bias else 0.0
+            )
+            return inv_c, bias - mean_c * inv_c
         if self.dtype is not None:
             out_dtype = self.dtype
         else:
@@ -108,13 +116,15 @@ class _Norm(nn.Module):
     dtype: object = None
 
     @nn.compact
-    def __call__(self, x, train: bool = True):
+    def __call__(self, x, train: bool = True, stats_only: bool = False):
         if self.kind == "group":
             return GroupNormNHWC(
                 num_groups=self.features // 8, dtype=self.dtype,
                 name="GroupNorm_0",
-            )(x)
+            )(x, stats_only=stats_only)
         if self.kind == "batch":
+            if stats_only:
+                return None  # batch-norm seams stay unfused (see caller)
             return nn.BatchNorm(
                 use_running_average=not train, momentum=0.9, dtype=self.dtype
             )(x)
@@ -125,7 +135,9 @@ class _Norm(nn.Module):
                 use_scale=False,
                 dtype=self.dtype,
                 name="GroupNorm_0",
-            )(x)
+            )(x, stats_only=stats_only)
+        if stats_only:
+            return None
         return x
 
 
@@ -147,10 +159,19 @@ class RaftResidualBlock(nn.Module):
         else:
             y = nn.Conv(self.features, (3, 3), strides=self.stride, padding=1,
                         kernel_init=he_out(), dtype=dt, name="Conv_0")(x)
-        y = _Norm(self.norm, self.features, dt)(y, train)
-        y = nn.relu(y)
-        y = FusedConv(self.features, 3, kernel_init=he_out(), dtype=dt,
-                      name="Conv_1")(y)
+        # conv1|norm|relu|conv2 seam: for the sample-local norms the
+        # norm+ReLU becomes conv2's fused input prologue (FusedConv) —
+        # only the tiny [N,C] stats are computed here, the normalised
+        # activation never reaches HBM.  Batch norm returns None
+        # (running/batch stats machinery) and keeps the unfused path.
+        norm1 = _Norm(self.norm, self.features, dt)
+        st = norm1(y, train, stats_only=True)
+        conv2 = FusedConv(self.features, 3, kernel_init=he_out(), dtype=dt,
+                          name="Conv_1")
+        if st is not None:
+            y = conv2(y, prologue=st)
+        else:
+            y = conv2(nn.relu(norm1(y, train)))
         y = _Norm(self.norm, self.features, dt)(y, train)
         y = nn.relu(y)
         if self.stride != 1 or x.shape[-1] != self.features:

@@ -56,14 +56,18 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 
-def _kernel(*refs, kh: int, kw: int, th: int, nh: int, relu: bool,
-            has_residual: bool, out_dtype):
+def _kernel(*refs, kh: int, kw: int, th: int, nh: int, h_img: int,
+            relu: bool, has_residual: bool, has_prologue: bool, out_dtype):
     ph = (kh - 1) // 2
     mid_ref = refs[0]
     prevs = refs[1 : 1 + ph]
     nexts = refs[1 + ph : 1 + 2 * ph]
     w_ref, b_ref = refs[1 + 2 * ph : 3 + 2 * ph]
-    rest = refs[3 + 2 * ph :]
+    rest = list(refs[3 + 2 * ph :])
+    s_ref = t_ref = res_ref = None
+    if has_prologue:
+        s_ref, t_ref = rest[:2]
+        rest = rest[2:]
     if has_residual:
         res_ref, out_ref = rest
     else:
@@ -81,6 +85,22 @@ def _kernel(*refs, kh: int, kw: int, th: int, nh: int, relu: bool,
         rows.append(jnp.where(i * th + th - 1 + j > hp - 1, 0.0,
                               nexts[j - 1][0]))
     xb = jnp.concatenate(rows, axis=0) if len(rows) > 1 else rows[0]
+    if has_prologue:
+        # fused input transform: relu(x·s + t) per channel — the
+        # producer's norm+activation applied as the tile is read, so the
+        # normalised activation never exists in HBM.  SAME padding of
+        # the conv must stay ZERO (not relu(t)), so out-of-image rows
+        # (top/bottom halos and any H-tail pad) are re-zeroed by a
+        # global-row validity mask; W edges are already exact (edge
+        # columns receive only their valid taps).
+        grow = i * th - ph + jax.lax.broadcasted_iota(
+            jnp.int32, xb.shape, 0
+        )
+        bi = pl.program_id(0)
+        z = jnp.maximum(xb * s_ref[bi, 0] + t_ref[bi, 0], 0.0)
+        xb = jnp.where((grow >= 0) & (grow < h_img), z, 0.0).astype(
+            xb.dtype
+        )
 
     Wout = out_ref.shape[2]
     Co = out_ref.shape[3]
@@ -138,7 +158,8 @@ def _reference(x, w, b, residual, relu):
     return y.astype(x.dtype)
 
 
-def _forward(x, w, b, residual, relu: bool, tile_h: int, interpret: bool):
+def _forward(x, w, b, residual, relu: bool, tile_h: int, interpret: bool,
+             s=None, t=None):
     B, H, W, C = x.shape
     kh, kw, _, Co = w.shape
     ph, pw = (kh - 1) // 2, (kw - 1) // 2
@@ -179,6 +200,15 @@ def _forward(x, w, b, residual, relu: bool, tile_h: int, interpret: bool):
         pl.BlockSpec(memory_space=pltpu.VMEM),
         pl.BlockSpec(memory_space=pltpu.VMEM),
     ]
+    if s is not None:
+        # [B,1,C]: leading dim untiled, so the kernel can index its batch
+        # row dynamically (a (1,C) block of a [B,C] array violates the
+        # (8,128)-divisible-or-full block rule)
+        args += [s[:, None, :], t[:, None, :]]
+        in_specs += [
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+        ]
     if residual is not None:
         rp = jnp.pad(residual, ((0, 0), (0, nh * th - H), (0, 0), (0, 0)))
         args.append(rp)
@@ -188,8 +218,9 @@ def _forward(x, w, b, residual, relu: bool, tile_h: int, interpret: bool):
         )
     out = pl.pallas_call(
         functools.partial(
-            _kernel, kh=kh, kw=kw, th=th, nh=nh, relu=relu,
-            has_residual=residual is not None, out_dtype=x.dtype,
+            _kernel, kh=kh, kw=kw, th=th, nh=nh, h_img=H, relu=relu,
+            has_residual=residual is not None,
+            has_prologue=s is not None, out_dtype=x.dtype,
         ),
         out_shape=jax.ShapeDtypeStruct((B, nh * th, W, Co), x.dtype),
         grid=(B, nh),
@@ -266,3 +297,71 @@ def _bwd(relu, tile_h, interpret, res, g):
 
 
 conv2d_fused.defvjp(_fwd, _bwd)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6, 7))
+def conv2d_fused_prologue(x, w, b, s, t, relu: bool = False,
+                          tile_h: int = 16, interpret: bool = False):
+    """Conv with a fused producer epilogue as the input PROLOGUE:
+
+        y = relu?(conv2d(relu(x·s + t), w, SAME) + b)
+
+    ``s``/``t`` are per-sample per-channel [B, C] (a norm's affine form:
+    s = inv·scale, t = bias − mean·inv·scale), applied in-kernel as each
+    tile is read — the normalised activation never exists in HBM, which
+    deletes the producer norm+ReLU's full-size write and this conv's
+    re-read (~0.7 ms per full-res seam at [4,576,960,64]).
+
+    Backward is hand-written and keeps the conv input-gradient on the
+    Pallas kernel; the prologue transform gradients (dx, ds, dt) are
+    elementwise + [B,C] reductions.  relu'(0)=0 tie deviation as in
+    ``conv2d_fused``.
+    """
+    return _forward(x, w, b, None, relu, tile_h, interpret, s=s, t=t)
+
+
+def _prologue_ref(x, w, b, s, t, relu):
+    z = jnp.maximum(
+        x.astype(jnp.float32) * s[:, None, None, :] + t[:, None, None, :],
+        0.0,
+    ).astype(x.dtype)
+    return _reference(z, w, b, None, relu)
+
+
+def _prologue_fwd(x, w, b, s, t, relu, tile_h, interpret):
+    out = conv2d_fused_prologue(x, w, b, s, t, relu, tile_h, interpret)
+    return out, (x, w, b, s, t, out if relu else None)
+
+
+def _prologue_bwd(relu, tile_h, interpret, res, g):
+    x, w, b, s, t, out = res
+    kh, kw, C, Co = w.shape
+    ph, pw = (kh - 1) // 2, (kw - 1) // 2
+
+    gpre = jnp.where(out > 0, g, 0).astype(g.dtype) if relu else g
+    db = jnp.sum(gpre.astype(jnp.float32), axis=(0, 1, 2)).astype(b.dtype)
+    # recompute the transformed input (elementwise; XLA fuses it into
+    # the surrounding gradient math)
+    u = x.astype(jnp.float32) * s[:, None, None, :] + t[:, None, None, :]
+    z = jnp.maximum(u, 0.0).astype(x.dtype)
+    dw = jax.lax.conv_general_dilated(
+        z, gpre, (1, 1), [(ph, ph), (pw, pw)],
+        dimension_numbers=("CHWN", "IHWO", "HWNC"),
+        preferred_element_type=jnp.float32,
+    ).astype(w.dtype)
+    w_rot = jnp.flip(w, axis=(0, 1)).transpose(0, 1, 3, 2)
+    dz = conv2d_fused(
+        gpre, w_rot, jnp.zeros((C,), gpre.dtype), None, False, tile_h,
+        interpret,
+    ).astype(jnp.float32)
+    du = jnp.where(u > 0, dz, 0.0)
+    dx = (du * s[:, None, None, :]).astype(x.dtype)
+    ds = jnp.einsum(
+        "bhwc,bhwc->bc", du, x.astype(jnp.float32),
+        preferred_element_type=jnp.float32,
+    ).astype(s.dtype)
+    dt = jnp.sum(du, axis=(1, 2)).astype(t.dtype)
+    return dx, dw, db, ds, dt
+
+
+conv2d_fused_prologue.defvjp(_prologue_fwd, _prologue_bwd)

@@ -98,3 +98,47 @@ def test_conv2d_fused_matches_flax_conv_layout():
     want = conv.apply(params, x)
     got = conv2d_fused(x, wt, b, None, False, 8, True)
     np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=2e-5)
+
+
+def _prologue_case(seed=5):
+    rng = np.random.RandomState(seed)
+    x = jnp.asarray(rng.randn(2, 19, 40, 16).astype(np.float32))
+    wt = jnp.asarray(0.1 * rng.randn(3, 3, 16, 24).astype(np.float32))
+    b = jnp.asarray(0.1 * rng.randn(24).astype(np.float32))
+    s = jnp.asarray((0.5 + rng.rand(2, 16)).astype(np.float32))
+    t = jnp.asarray(0.3 * rng.randn(2, 16).astype(np.float32))
+    return x, wt, b, s, t
+
+
+@pytest.mark.parametrize("relu", [False, True])
+def test_conv2d_fused_prologue_value(relu):
+    from stereoformer_tpu.ops.pallas.conv2d import (
+        _prologue_ref, conv2d_fused_prologue,
+    )
+
+    x, wt, b, s, t = _prologue_case()
+    got = conv2d_fused_prologue(x, wt, b, s, t, relu, 8, True)
+    want = _prologue_ref(x, wt, b, s, t, relu)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=2e-5)
+
+
+@pytest.mark.parametrize("relu", [False, True])
+def test_conv2d_fused_prologue_grads(relu):
+    from stereoformer_tpu.ops.pallas.conv2d import (
+        _prologue_ref, conv2d_fused_prologue,
+    )
+
+    x, wt, b, s, t = _prologue_case(seed=6)
+
+    def f_ker(*a):
+        return jnp.sum(jnp.sin(conv2d_fused_prologue(*a, relu, 8, True)))
+
+    def f_ref(*a):
+        return jnp.sum(jnp.sin(_prologue_ref(*a, relu)))
+
+    ga = jax.grad(f_ker, argnums=(0, 1, 2, 3, 4))(x, wt, b, s, t)
+    gb = jax.grad(f_ref, argnums=(0, 1, 2, 3, 4))(x, wt, b, s, t)
+    for a, want in zip(ga, gb):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(want), atol=2e-4, rtol=1e-4
+        )
