@@ -85,9 +85,12 @@ def _lowcnn_gru2(**kw):
 def _raft(**kw):
     from .raft_stereo import RAFTStereo
 
-    # the shared trainer/eval contract passes max_disp and ImageNet-
-    # normalised images; RAFT has no disparity cap and expects [-1, 1]
+    # the shared trainer/eval contract passes max_disp, loop and
+    # ImageNet-normalised images; RAFT has no disparity cap, no
+    # unroll/scan switch (its GRU cascade is always unrolled) and
+    # expects [-1, 1]
     kw.pop("max_disp", None)
+    kw.pop("loop", None)
     kw.setdefault("input_norm", "imagenet")
     return RAFTStereo(**kw)
 
@@ -99,4 +102,5 @@ def _raft(**kw):
 def _cross_attention(**kw):
     from .cross_attention import CrossAttentionStereo
 
+    kw.pop("loop", None)  # GRU refinement is always unrolled here
     return CrossAttentionStereo(**kw)

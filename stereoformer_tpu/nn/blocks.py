@@ -87,6 +87,9 @@ class FusedConv(nn.Module):
             self.impl == "auto"
             and jax.default_backend() == "tpu"
             and 64 <= x.shape[-1] <= self.auto_max_c
+            # symbolic dims (jax.export shape polymorphism) cannot drive
+            # a Pallas grid — those traces take the XLA path
+            and all(isinstance(d, int) for d in x.shape)
         )
         if use_pallas:
             from ..ops.pallas.conv2d import conv2d_fused, conv2d_fused_prologue

@@ -158,6 +158,17 @@ def _reference(x, w, b, residual, relu):
     return y.astype(x.dtype)
 
 
+def _cost_estimate(x, B, H, W, kh, kw, C, Co):
+    try:  # symbolic dims (jax.export shape polymorphism) have no int form
+        return pl.CostEstimate(
+            flops=int(2 * B * H * W * kh * kw * C * Co),
+            bytes_accessed=int((x.size + Co * B * H * W) * x.dtype.itemsize),
+            transcendentals=0,
+        )
+    except TypeError:
+        return None
+
+
 def _forward(x, w, b, residual, relu: bool, tile_h: int, interpret: bool,
              s=None, t=None):
     B, H, W, C = x.shape
@@ -233,11 +244,7 @@ def _forward(x, w, b, residual, relu: bool, tile_h: int, interpret: bool,
             # accumulator coexist
             vmem_limit_bytes=100 * 1024 * 1024,
         ),
-        cost_estimate=pl.CostEstimate(
-            flops=2 * B * H * W * kh * kw * C * Co,
-            bytes_accessed=(x.size + Co * B * H * W) * x.dtype.itemsize,
-            transcendentals=0,
-        ),
+        cost_estimate=_cost_estimate(x, B, H, W, kh, kw, C, Co),
         interpret=interpret,
     )(*args)
     return out[:, :H] if nh * th != H else out

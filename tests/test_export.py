@@ -58,3 +58,18 @@ def test_export_cli_check(tmp_path, capsys):
     # the summary line is valid JSON on stdout
     line = capsys.readouterr().out.strip().splitlines()[-1]
     assert json.loads(line)["artifact"] == out
+
+
+def test_export_cli_raft(tmp_path):
+    """RAFT export regression: the registry must tolerate the shared
+    loop/max_disp contract kwargs, and symbolic-batch export must not
+    feed symbolic dims into the Pallas conv's grid/cost model."""
+    from stereoformer_tpu.cli.export import main
+
+    out = str(tmp_path / "raft.shlo")
+    record = main([
+        "--net", "RAFT_Stereo", "--height", "32", "--width", "64",
+        "--iters", "1", "--out", out, "--check",
+    ])
+    assert os.path.exists(out)
+    assert record["check_max_err_px"] < 1e-2
