@@ -126,7 +126,10 @@ class RAFTStereo(nn.Module):
             flow = jnp.concatenate(
                 [(coords1 - coords0)[..., None], flow_y], axis=-1
             )
-            net, mask, delta = update(net, ctx, corr_feat, flow)
+            net, mask, delta = update(
+                net, ctx, corr_feat, flow,
+                need_mask=not test_mode or itr == iters - 1,
+            )
             # epipolar constraint: Δflow_y = 0 (raft_stereo.py:180)
             coords1 = coords1 + delta[..., 0]
             if test_mode and itr < iters - 1:

@@ -117,7 +117,8 @@ class MultiUpdateBlock(nn.Module):
 
     @nn.compact
     def __call__(self, net, inp, corr=None, flow=None,
-                 iter08=True, iter16=True, iter32=True, update=True):
+                 iter08=True, iter16=True, iter32=True, update=True,
+                 need_mask=True):
         net = list(net)
         hd = self.hidden_dims
         if iter32 and self.n_gru_layers == 3:
@@ -150,6 +151,14 @@ class MultiUpdateBlock(nn.Module):
             return net
         delta_flow = FlowHead(dtype=self.dtype, name="flow_head")(net[0])
         factor = 2 ** self.n_downsample
+        # in test_mode only the final iteration's mask is consumed;
+        # callers skip the head on the others.  XLA already DCEs the
+        # unused convs (measured ~0.5 ms of 120, not the naive ~8), so
+        # the win is mostly smaller traces / faster compiles — outputs
+        # identical (reference computes it every iteration,
+        # raft_stereo.py:175)
+        if not need_mask:
+            return net, None, delta_flow
         m = nn.relu(
             nn.Conv(256, (3, 3), padding=1, kernel_init=he_out(),
                     dtype=self.dtype, name="mask_conv1")(net[0])
