@@ -142,3 +142,30 @@ def test_conv2d_fused_prologue_grads(relu):
         np.testing.assert_allclose(
             np.asarray(a), np.asarray(want), atol=2e-4, rtol=1e-4
         )
+
+
+@pytest.mark.parametrize("relu", [False, True])
+def test_conv2d_fused_s2(relu):
+    from stereoformer_tpu.ops.pallas.conv2d import (
+        _reference_s2, conv2d_fused_s2,
+    )
+
+    rng = np.random.RandomState(7)
+    x = jnp.asarray(rng.randn(2, 20, 48, 16).astype(np.float32))
+    wt = jnp.asarray(0.1 * rng.randn(3, 3, 16, 24).astype(np.float32))
+    b = jnp.asarray(0.1 * rng.randn(24).astype(np.float32))
+    got = conv2d_fused_s2(x, wt, b, relu, 8, True)
+    want = _reference_s2(x, wt, b, relu)
+    assert got.shape == want.shape == (2, 10, 24, 24)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=2e-5)
+
+    def f(x, wt, b):
+        return jnp.sum(jnp.sin(conv2d_fused_s2(x, wt, b, relu, 8, True)))
+
+    def fr(x, wt, b):
+        return jnp.sum(jnp.sin(_reference_s2(x, wt, b, relu)))
+
+    ga = jax.grad(f, argnums=(0, 1, 2))(x, wt, b)
+    gb = jax.grad(fr, argnums=(0, 1, 2))(x, wt, b)
+    for a, want in zip(ga, gb):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(want), atol=2e-4)
