@@ -173,7 +173,7 @@ def _forward(x, w, b, residual, relu: bool, tile_h: int, interpret: bool,
              s=None, t=None):
     B, H, W, C = x.shape
     kh, kw, _, Co = w.shape
-    ph, pw = (kh - 1) // 2, (kw - 1) // 2
+    ph = (kh - 1) // 2
     th = min(tile_h, H)
     nh = -(-H // th)
     wp = W
@@ -281,7 +281,7 @@ def _bwd(relu, tile_h, interpret, res, g):
     (grad parity tests pass on random data).
     """
     x, w, b, out, has_res = res
-    kh, kw, C, Co = w.shape
+    kh, kw, C, _ = w.shape
     ph, pw = (kh - 1) // 2, (kw - 1) // 2
 
     gpre = jnp.where(out > 0, g, 0).astype(g.dtype) if relu else g
@@ -342,7 +342,7 @@ def _prologue_fwd(x, w, b, s, t, relu, tile_h, interpret):
 
 def _prologue_bwd(relu, tile_h, interpret, res, g):
     x, w, b, s, t, out = res
-    kh, kw, C, Co = w.shape
+    kh, kw, C, _ = w.shape
     ph, pw = (kh - 1) // 2, (kw - 1) // 2
 
     gpre = jnp.where(out > 0, g, 0).astype(g.dtype) if relu else g
