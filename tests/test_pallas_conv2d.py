@@ -169,3 +169,27 @@ def test_conv2d_fused_s2(relu):
     gb = jax.grad(fr, argnums=(0, 1, 2))(x, wt, b)
     for a, want in zip(ga, gb):
         np.testing.assert_allclose(np.asarray(a), np.asarray(want), atol=2e-4)
+
+
+def test_conv2d_fused_shape_fuzz():
+    """Randomised shape sweep (interpret mode): odd widths, non-tile
+    heights, C not a lane multiple, kh in {1,3}, with/without relu."""
+    rng = np.random.RandomState(11)
+    for trial in range(10):
+        kh = int(rng.choice([1, 3]))
+        c = int(rng.choice([3, 5, 16, 48, 64]))
+        co = int(rng.choice([8, 24, 64]))
+        h = int(rng.randint(3, 30))
+        w = int(rng.randint(3, 50))
+        relu = bool(rng.rand() < 0.5)
+        th = int(rng.choice([4, 8, 16]))
+        x = jnp.asarray(rng.randn(2, h, w, c).astype(np.float32))
+        wt = jnp.asarray(0.1 * rng.randn(kh, kh, c, co).astype(np.float32))
+        b = jnp.asarray(0.1 * rng.randn(co).astype(np.float32))
+        got = conv2d_fused(x, wt, b, None, relu, th, True)
+        want = _reference(x, wt, b, None, relu)
+        np.testing.assert_allclose(
+            np.asarray(got), np.asarray(want), atol=3e-5,
+            err_msg=f"trial {trial}: kh={kh} c={c} co={co} h={h} w={w} "
+                    f"relu={relu} th={th}",
+        )
