@@ -114,7 +114,12 @@ def make_wsharded_model_eval(
     phase-consistent with the global computation), then keeps only the
     central slab — exact wherever ``margin`` covers the model's receptive
     field plus the disparity reach (≈ backbone RF + 8·max_disp/8 input
-    px; parity-tested).  Inputs are replicated ([B,H,W,3] is small next
+    px; parity-tested).  Applicability: the LowCNN family's correlation
+    is D-banded, so its W-reach is bounded and small; RAFT-Stereo's
+    correlation pyramid is ALL-PAIRS along W (its reach is the full
+    image width — measured 54 px max error at margin=32 on a 256-wide
+    pair), so it needs full-width eval or the banded
+    ``correlation_volume_wsharded`` pipeline instead.  Inputs are replicated ([B,H,W,3] is small next
     to the activations this avoids materialising per chip); activation
     memory and compute per chip scale with (W/n + 2·margin) instead of W,
     which is what enables very wide (4K+) pairs that do not fit one chip.
