@@ -119,6 +119,25 @@ class TestGroupNormNHWC:
         for a, b in zip(jax.tree.leaves(gref), jax.tree.leaves(gnew)):
             np.testing.assert_allclose(np.asarray(b), np.asarray(a), rtol=5e-5, atol=2e-5)
 
+    @pytest.mark.parametrize("groups,affine", [(4, True), (32, False)])
+    def test_stats_only_affine_form(self, groups, affine):
+        """stats_only returns (s, t) with x*s + t == the applied norm —
+        the contract the fused conv prologue builds on."""
+        from stereoformer_tpu.nn.raft.encoders import GroupNormNHWC
+
+        rng = np.random.RandomState(2)
+        x = jnp.asarray(rng.randn(2, 5, 7, 32).astype(np.float32) * 2 - 1)
+        mod = GroupNormNHWC(num_groups=groups, use_scale=affine,
+                            use_bias=affine)
+        v = mod.init(jax.random.PRNGKey(0), x)
+        want = mod.apply(v, x)
+        s, t = mod.apply(v, x, stats_only=True)
+        assert s.shape == (2, 32) and jnp.shape(t) in ((2, 32), ())
+        got = x * s[:, None, None, :] + jnp.reshape(
+            jnp.broadcast_to(t, (2, 32)), (2, 1, 1, 32))
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   rtol=2e-5, atol=2e-6)
+
     def test_bf16_promotion_matches_flax(self):
         import flax.linen as nn
         from stereoformer_tpu.nn.raft.encoders import GroupNormNHWC
