@@ -107,6 +107,31 @@ class GroupNormNHWC(nn.Module):
         return y.astype(out_dtype)
 
 
+class _BNStats(nn.Module):
+    """Eval-mode BatchNorm as its affine form (s, t) without applying —
+    declares the exact parameter/variable tree ``flax.linen.BatchNorm``
+    would (scale/bias params, batch_stats mean/var), so a module scope
+    may take this path at eval and the real BatchNorm at train and
+    checkpoints restore identically."""
+
+    features: int
+    epsilon: float = 1e-5
+
+    @nn.compact
+    def __call__(self, batch):
+        mean = self.variable("batch_stats", "mean",
+                             lambda: jnp.zeros((self.features,)))
+        var = self.variable("batch_stats", "var",
+                            lambda: jnp.ones((self.features,)))
+        scale = self.param("scale", nn.initializers.ones, (self.features,))
+        bias = self.param("bias", nn.initializers.zeros, (self.features,))
+        inv = scale * jax.lax.rsqrt(var.value + self.epsilon)
+        s = jnp.broadcast_to(inv[None, :], (batch, self.features))
+        t = jnp.broadcast_to((bias - mean.value * inv)[None, :],
+                             (batch, self.features))
+        return s, t
+
+
 class _Norm(nn.Module):
     """group | batch | instance | none (torch InstanceNorm2d has no affine
     params and no running stats)."""
@@ -124,7 +149,10 @@ class _Norm(nn.Module):
             )(x, stats_only=stats_only)
         if self.kind == "batch":
             if stats_only:
-                return None  # batch-norm seams stay unfused (see caller)
+                if train:
+                    return None  # train-mode batch stats stay unfused
+                # eval BN is a fixed per-channel affine — fusable
+                return _BNStats(self.features, name="BatchNorm_0")(x.shape[0])
             return nn.BatchNorm(
                 use_running_average=not train, momentum=0.9, dtype=self.dtype
             )(x)
@@ -159,11 +187,13 @@ class RaftResidualBlock(nn.Module):
         else:
             y = nn.Conv(self.features, (3, 3), strides=self.stride, padding=1,
                         kernel_init=he_out(), dtype=dt, name="Conv_0")(x)
-        # conv1|norm|relu|conv2 seam: for the sample-local norms the
-        # norm+ReLU becomes conv2's fused input prologue (FusedConv) —
-        # only the tiny [N,C] stats are computed here, the normalised
-        # activation never reaches HBM.  Batch norm returns None
-        # (running/batch stats machinery) and keeps the unfused path.
+        # conv1|norm|relu|conv2 seam: the norm+ReLU becomes conv2's
+        # fused input prologue (FusedConv) — only the tiny [N,C] stats
+        # are computed here, the normalised activation never reaches
+        # HBM.  Sample-local norms fuse always; batch norm fuses at
+        # EVAL (running stats = fixed affine) and returns None at train
+        # (batch-stats computation + running-average updates stay on
+        # the unfused path).
         norm1 = _Norm(self.norm, self.features, dt)
         st = norm1(y, train, stats_only=True)
         conv2 = FusedConv(self.features, 3, kernel_init=he_out(), dtype=dt,
