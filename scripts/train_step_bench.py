@@ -19,10 +19,13 @@ from stereoformer_tpu.models import get_model
 from stereoformer_tpu.train import TrainState, make_train_step
 
 B, H, W, ITERS = 4, 320, 640, 12
-MODE = sys.argv[1] if len(sys.argv) > 1 else "unroll"
+MODE = sys.argv[1] if len(sys.argv) > 1 else "unroll"  # unroll | scan | scan:<k>
 DTYPE = sys.argv[2] if len(sys.argv) > 2 else "f32"
 
-kw = {"loop": MODE}
+if MODE.startswith("scan:"):
+    kw = {"loop": "scan", "scan_unroll": int(MODE.split(":", 1)[1])}
+else:
+    kw = {"loop": MODE}
 if DTYPE == "bf16":
     kw["dtype"] = jnp.bfloat16
 model = get_model("LowCNN_gru", **kw)

@@ -76,6 +76,15 @@ def build_parser() -> argparse.ArgumentParser:
                         "wired in unlike the reference)")
     p.add_argument("--profile_dir", type=str, default=None,
                    help="write a jax.profiler device trace of epoch 0 here")
+    p.add_argument("--gru_loop", type=str, default="unroll",
+                   choices=["unroll", "scan"],
+                   help="GRU iteration style for the LowCNN family: "
+                        "unroll = fastest steps, longest cold compile; "
+                        "scan = body traced once (cheap compiles, ~2x "
+                        "slower steps) — numbers in BENCHMARKS.md")
+    p.add_argument("--scan_unroll", type=int, default=1,
+                   help="with --gru_loop scan: lax.scan unroll window k "
+                        "(partial cross-iteration fusion)")
     return p
 
 
@@ -163,6 +172,8 @@ def main(argv=None):
         dtype=opt.dtype,
         scale_size=(opt.scale_h, opt.scale_w),
         filenames_dir=opt.filenames_dir,
+        gru_loop=opt.gru_loop,
+        scan_unroll=opt.scan_unroll,
     )
     trainer.initialize()
 

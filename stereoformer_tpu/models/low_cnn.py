@@ -71,6 +71,10 @@ class LowCNN(nn.Module):
     gamma: float = 1.0
     dtype: object = None             # compute dtype; jnp.bfloat16 for MXU speed
     loop: str = "unroll"             # "unroll" | "scan" — GRU iteration style
+    scan_unroll: int = 1             # loop="scan": lax.scan unroll factor —
+    # the body is traced once but emitted k× per loop step, giving XLA a
+    # k-iteration window to fuse across (recovers most of the full-unroll
+    # fusion win at ~1/(iters/k) of its trace size; numerics identical)
 
     @nn.compact
     def __call__(
@@ -174,6 +178,7 @@ class LowCNN(nn.Module):
                     length=iters,
                     in_axes=nn.broadcast,
                     methods=["scan_step"],
+                    unroll=self.scan_unroll,
                 )
                 scan_update = scan_cls(
                     hidden=self.gru_hidden,

@@ -91,6 +91,7 @@ def _raft(**kw):
     # expects [-1, 1]
     kw.pop("max_disp", None)
     kw.pop("loop", None)
+    kw.pop("scan_unroll", None)
     kw.setdefault("input_norm", "imagenet")
     return RAFTStereo(**kw)
 
@@ -103,4 +104,5 @@ def _cross_attention(**kw):
     from .cross_attention import CrossAttentionStereo
 
     kw.pop("loop", None)  # GRU refinement is always unrolled here
+    kw.pop("scan_unroll", None)
     return CrossAttentionStereo(**kw)

@@ -81,6 +81,8 @@ class DisparityTrainer:
         dtype: Optional[str] = None,
         scale_size: Optional[tuple[int, int]] = None,
         filenames_dir: Optional[str] = None,
+        gru_loop: str = "unroll",
+        scan_unroll: int = 1,
     ):
         self.lr = lr
         self.dataset = dataset
@@ -103,6 +105,8 @@ class DisparityTrainer:
         self.filenames_dir = filenames_dir
         self.color_aug = color_aug
         self.dtype = dtype
+        self.gru_loop = gru_loop
+        self.scan_unroll = scan_unroll
         self.scale_size = scale_size
         self.current_lr = lr
         self.is_pretrain = False
@@ -162,6 +166,12 @@ class DisparityTrainer:
         kw = {}
         if self.dtype in ("bf16", "bfloat16"):
             kw["dtype"] = jnp.bfloat16
+        if self.gru_loop != "unroll":
+            # loop="scan" trades ~2x slower steps for much cheaper cold
+            # compiles; scan_unroll=k recovers part of the cross-iteration
+            # fusion (numbers in BENCHMARKS.md "GRU loop modes")
+            kw["loop"] = self.gru_loop
+            kw["scan_unroll"] = self.scan_unroll
         self.net = get_model(self.model_name, max_disp=self.maxdisp, **kw)
         h, w = self.crop_size
         dummy = jnp.zeros((1, h, w, 3), jnp.float32)

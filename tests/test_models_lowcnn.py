@@ -145,6 +145,27 @@ def test_scan_loop_matches_unroll(images):
         )
 
 
+def test_scan_unroll_factor_matches_unroll(images):
+    """loop="scan" with scan_unroll=k (lax.scan unroll window, a partial
+    cross-iteration fusion window for XLA) must keep the parameter tree
+    and outputs of the fully unrolled loop, including a non-divisor k
+    (lax.scan handles the remainder iterations)."""
+    left, right = images
+    unroll = LowCNN(refinement="gru", loop="unroll")
+    variables = unroll.init(
+        jax.random.PRNGKey(0), left, right, iters=3, train=False
+    )
+    out_u = unroll.apply(variables, left, right, iters=3, train=False)
+    for k in (2, 3):
+        scan_k = LowCNN(refinement="gru", loop="scan", scan_unroll=k)
+        out_s = scan_k.apply(variables, left, right, iters=3, train=False)
+        assert len(out_s["disparities"]) == 3
+        for a, b in zip(out_u["disparities"], out_s["disparities"]):
+            np.testing.assert_allclose(
+                np.asarray(a), np.asarray(b), atol=1e-4
+            )
+
+
 def test_stem_conv_bit_equivalent():
     """StemConv (space-to-depth) must equal a plain 7x7 s2 conv+leakyrelu
     with the same weights."""
