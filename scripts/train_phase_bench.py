@@ -28,7 +28,11 @@ from stereoformer_tpu.losses import sequence_loss
 
 B, H, W, ITERS = int(os.environ.get("PHASE_B", "4")), 320, 640, 12
 DTYPE = sys.argv[1] if len(sys.argv) > 1 else "bf16"
-PEAK_TFLOPS = 197.0  # v5e bf16 matmul peak
+if DTYPE not in ("bf16", "f32"):
+    sys.exit(f"usage: train_phase_bench.py [bf16|f32] (got {DTYPE!r})")
+# v5e matmul peak for the chosen dtype (f32 runs on the MXU at half the
+# bf16 rate) — '% peak' is always against the dtype actually benchmarked
+PEAK_TFLOPS = {"bf16": 197.0, "f32": 98.5}[DTYPE]
 
 kw = {}
 if DTYPE == "bf16":

@@ -83,13 +83,23 @@ def build_parser() -> argparse.ArgumentParser:
                         "scan = body traced once (cheap compiles, ~2x "
                         "slower steps) — numbers in BENCHMARKS.md")
     p.add_argument("--scan_unroll", type=int, default=1,
-                   help="with --gru_loop scan: lax.scan unroll window k "
-                        "(partial cross-iteration fusion)")
+                   help="with --gru_loop scan: lax.scan unroll window k. "
+                        "Measured no-op on both train and eval speed "
+                        "(BENCHMARKS.md 'GRU loop modes' — kept as a "
+                        "tested negative result); ignored with "
+                        "--gru_loop unroll")
     return p
 
 
 def main(argv=None):
     opt = build_parser().parse_args(argv)
+    if opt.scan_unroll != 1 and opt.gru_loop == "unroll":
+        import warnings
+
+        warnings.warn(
+            "--scan_unroll only applies with --gru_loop scan; the fully "
+            "unrolled loop ignores it.", stacklevel=1,
+        )
     os.makedirs(opt.outf, exist_ok=True)
     os.makedirs(opt.save_logdir, exist_ok=True)
 

@@ -71,10 +71,12 @@ class LowCNN(nn.Module):
     gamma: float = 1.0
     dtype: object = None             # compute dtype; jnp.bfloat16 for MXU speed
     loop: str = "unroll"             # "unroll" | "scan" — GRU iteration style
-    scan_unroll: int = 1             # loop="scan": lax.scan unroll factor —
-    # the body is traced once but emitted k× per loop step, giving XLA a
-    # k-iteration window to fuse across (recovers most of the full-unroll
-    # fusion win at ~1/(iters/k) of its trace size; numerics identical)
+    scan_unroll: int = 1             # loop="scan": lax.scan unroll factor.
+    # Tested NEGATIVE result kept as a knob: measured no effect on train
+    # or eval (BENCHMARKS.md "GRU loop modes" — eval's unroll win is DCE
+    # of the 11 dead mask heads, train's gap is the scan backward's
+    # per-step HBM residual spills; neither is reachable from a body
+    # unroll window).  Numerics identical to loop="unroll" (tested).
 
     @nn.compact
     def __call__(
