@@ -88,6 +88,13 @@ def build_parser() -> argparse.ArgumentParser:
                         "(BENCHMARKS.md 'GRU loop modes' — kept as a "
                         "tested negative result); ignored with "
                         "--gru_loop unroll")
+    p.add_argument("--freeze_bn", action="store_true",
+                   help="freeze BatchNorm during training (use running "
+                        "stats, no stat updates) — the RAFT fine-tune "
+                        "knob (raft_stereo.py:124-127 freeze_bn). "
+                        "Fine-tuning only: from-scratch training with "
+                        "frozen init statistics is unstable (diverges in "
+                        "bf16), exactly as torch eval-mode BN would be")
     return p
 
 
@@ -184,6 +191,7 @@ def main(argv=None):
         filenames_dir=opt.filenames_dir,
         gru_loop=opt.gru_loop,
         scan_unroll=opt.scan_unroll,
+        freeze_bn=opt.freeze_bn,
     )
     trainer.initialize()
 

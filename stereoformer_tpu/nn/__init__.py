@@ -10,6 +10,14 @@ from .blocks import (
     StemConv,
 )
 from .aggregation import ConvBn3D, Hourglass3D, cost_volume_pyramid
+from .deform import (
+    DeformConvV1,
+    DeformConvV1Pack,
+    DeformRoIPooling,
+    DeformRoIPoolingPack,
+    ModulatedDeformConv,
+    ModulatedDeformNormal,
+)
 from .gru import ConvGRU, SepConvGRU
 from .residual import ResSubmoduleAttention, SAModule
 from .update import (
@@ -29,6 +37,12 @@ __all__ = [
     "ResBlock",
     "StemConv",
     "ConvBn3D",
+    "DeformConvV1",
+    "DeformConvV1Pack",
+    "DeformRoIPooling",
+    "DeformRoIPoolingPack",
+    "ModulatedDeformConv",
+    "ModulatedDeformNormal",
     "Hourglass3D",
     "cost_volume_pyramid",
     "ResSubmoduleAttention",

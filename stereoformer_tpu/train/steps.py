@@ -52,11 +52,20 @@ def make_train_step(
     weights: Sequence[float] = (0.8, 1.2),
     remat: bool = False,
     state_out_shardings=None,
+    freeze_bn: bool = False,
 ) -> Callable:
     """Returns jitted ``train_step(state, batch) -> (state, metrics)``.
 
     ``remat=True`` wraps the forward in ``jax.checkpoint`` to trade
     recompute for memory across the unrolled GRU iterations.
+
+    ``freeze_bn=True`` is the RAFT fine-tune knob
+    (models/IterativeLocalCostVolume/raft_stereo.py:124-127 ``freeze_bn``
+    → BatchNorm.eval()): every BatchNorm normalises with its running
+    statistics and the statistics are not updated, while parameters still
+    receive gradients.  Here that is exactly the model's ``train=False``
+    path with no mutable collection (BN mode is the only thing ``train``
+    gates in these models).
 
     ``state_out_shardings``: optional pytree of ``NamedSharding`` matching
     ``TrainState`` — pins the updated state's placement (FSDP: params and
@@ -66,6 +75,12 @@ def make_train_step(
     """
 
     def forward(params, batch_stats, left, right):
+        if freeze_bn:
+            out = model.apply(
+                {"params": params, "batch_stats": batch_stats},
+                left, right, iters=iters, train=False,
+            )
+            return out, {"batch_stats": batch_stats}
         return model.apply(
             {"params": params, "batch_stats": batch_stats},
             left, right, iters=iters, train=True, mutable=["batch_stats"],

@@ -83,6 +83,7 @@ class DisparityTrainer:
         filenames_dir: Optional[str] = None,
         gru_loop: str = "unroll",
         scan_unroll: int = 1,
+        freeze_bn: bool = False,
     ):
         self.lr = lr
         self.dataset = dataset
@@ -107,6 +108,7 @@ class DisparityTrainer:
         self.dtype = dtype
         self.gru_loop = gru_loop
         self.scan_unroll = scan_unroll
+        self.freeze_bn = freeze_bn
         self.scale_size = scale_size
         self.current_lr = lr
         self.is_pretrain = False
@@ -168,8 +170,8 @@ class DisparityTrainer:
             kw["dtype"] = jnp.bfloat16
         if self.gru_loop != "unroll":
             # loop="scan" trades ~2x slower steps for much cheaper cold
-            # compiles; scan_unroll=k recovers part of the cross-iteration
-            # fusion (numbers in BENCHMARKS.md "GRU loop modes")
+            # compiles; scan_unroll is a measured no-op kept as a knob
+            # (BENCHMARKS.md "GRU loop modes")
             kw["loop"] = self.gru_loop
             kw["scan_unroll"] = self.scan_unroll
         self.net = get_model(self.model_name, max_disp=self.maxdisp, **kw)
@@ -227,6 +229,7 @@ class DisparityTrainer:
             self.net, self.tx, self.loss_name, iters=self.train_iters,
             weights=self.loss_weights, remat=self.remat,
             state_out_shardings=self.state_shardings,
+            freeze_bn=self.freeze_bn,
         )
         self.eval_step = make_eval_step(self.net, iters=self.eval_iters)
         if self.pretrain and self.pretrain != "none":
@@ -256,6 +259,7 @@ class DisparityTrainer:
             self.net, self.tx, self.loss_name, iters=self.train_iters,
             weights=self.loss_weights, remat=self.remat,
             state_out_shardings=self.state_shardings,
+            freeze_bn=self.freeze_bn,
         )
 
     # -- epoch loops ---------------------------------------------------------

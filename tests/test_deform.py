@@ -239,3 +239,122 @@ def test_deform_conv_module_windowed_default():
     y = m.apply(v, x)
     y0 = DeformConv(6, window=None).apply(v, x)
     np.testing.assert_allclose(np.asarray(y), np.asarray(y0), atol=1e-5)
+
+
+# ---- module-wrapper tail (deform/modules/*.py — nn/deform.py) -------------
+
+
+def _plain_conv(x, weight, bias, k=3, padding=1):
+    """Reference plain conv with the deform weight layout [K*C, Cout]."""
+    C = x.shape[-1]
+    w = weight.reshape(k, k, C, -1)
+    y = jax.lax.conv_general_dilated(
+        x, w, (1, 1), [(padding, padding)] * 2,
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+    )
+    return y if bias is None else y + bias
+
+
+def test_modulated_deform_conv_module_explicit_inputs():
+    """Explicit-offset DCNv2 module: zero offsets + unit mask == plain conv;
+    matches the op for random offsets (modulated_deform_conv.py:14-66)."""
+    from stereoformer_tpu.nn import ModulatedDeformConv
+
+    rng = np.random.RandomState(0)
+    x = jnp.asarray(rng.randn(2, 10, 14, 8).astype(np.float32))
+    m = ModulatedDeformConv(6)
+    off0 = jnp.zeros((2, 10, 14, 9, 2))
+    mask1 = jnp.ones((2, 10, 14, 9))
+    v = m.init(jax.random.PRNGKey(0), x, off0, mask1)
+    y0 = m.apply(v, x, off0, mask1)
+    ref = _plain_conv(x, v["params"]["weight"], v["params"]["bias"])
+    np.testing.assert_allclose(np.asarray(y0), np.asarray(ref), atol=1e-5)
+
+    off = jnp.asarray(rng.randn(2, 10, 14, 9, 2).astype(np.float32))
+    mask = jax.nn.sigmoid(jnp.asarray(rng.randn(2, 10, 14, 9), jnp.float32))
+    y = m.apply(v, x, off, mask)
+    y_op = ops.modulated_deform_conv(
+        x, off, mask, v["params"]["weight"], v["params"]["bias"]
+    )
+    np.testing.assert_allclose(np.asarray(y), np.asarray(y_op), atol=1e-5)
+
+
+def test_modulated_deform_normal_second_feature_drives_offsets():
+    """ModulatedDeformNormal: at zero init == 0.5x plain conv of the INPUT
+    feature (sigmoid(0) mask) independent of the normal feature; the
+    offset gradient flows to the normal feature, not the input
+    (modulated_deform_conv.py:105-151)."""
+    from stereoformer_tpu.nn import ModulatedDeformNormal
+
+    rng = np.random.RandomState(1)
+    x = jnp.asarray(rng.randn(2, 10, 14, 8).astype(np.float32))
+    nf = jnp.asarray(rng.randn(2, 10, 14, 4).astype(np.float32))
+    m = ModulatedDeformNormal(6)
+    v = m.init(jax.random.PRNGKey(0), x, nf)
+    y = m.apply(v, x, nf)
+    ref = 0.5 * _plain_conv(x, v["params"]["weight"], None) \
+        + v["params"]["bias"]
+    np.testing.assert_allclose(np.asarray(y), np.asarray(ref), atol=1e-5)
+    # changing the normal feature at zero init changes nothing...
+    y2 = m.apply(v, x, nf * 3.0 + 1.0)
+    np.testing.assert_allclose(np.asarray(y), np.asarray(y2), atol=1e-5)
+    # ...but the offset conv's gradient is driven by the normal feature:
+    g = jax.grad(
+        lambda p: jnp.sum(m.apply({"params": p}, x, nf) ** 2)
+    )(v["params"])
+    assert float(jnp.max(jnp.abs(g["offset_mask"]["kernel"]))) > 0.0
+
+
+def test_deform_conv_v1_pack_zero_init_is_plain_conv():
+    """v1 Pack at zero init: offsets 0, NO mask -> exactly a plain conv
+    (deform_conv.py:66-99), unlike the modulated pack's 0.5 factor."""
+    from stereoformer_tpu.nn import DeformConvV1, DeformConvV1Pack
+
+    rng = np.random.RandomState(2)
+    x = jnp.asarray(rng.randn(2, 9, 11, 8).astype(np.float32))
+    m = DeformConvV1Pack(6)
+    v = m.init(jax.random.PRNGKey(0), x)
+    y = m.apply(v, x)
+    p = v["params"]["deform"]
+    ref = _plain_conv(x, p["weight"], p["bias"])
+    np.testing.assert_allclose(np.asarray(y), np.asarray(ref), atol=1e-5)
+
+    # explicit-offset v1 module: integer offset (+1 row) == shifted conv
+    me = DeformConvV1(6)
+    ve = {"params": p}
+    off = jnp.zeros((2, 9, 11, 9, 2)).at[..., 0].set(1.0)
+    ys = me.apply(ve, x, off)
+    x_dn = jnp.pad(x, ((0, 0), (0, 1), (0, 0), (0, 0)))[:, 1:]
+    ref_s = _plain_conv(x_dn, p["weight"], p["bias"])
+    # interior rows only (boundary taps sample the zero pad differently)
+    np.testing.assert_allclose(
+        np.asarray(ys[:, 1:-2]), np.asarray(ref_s[:, 1:-2]), atol=1e-5
+    )
+
+
+def test_deform_roi_pooling_pack_zero_init_is_half_roialign():
+    """RoI Pack at zero init: offsets 0, mask 0.5 -> 0.5x plain PS-RoI
+    pooling (deform_psroi_pooling.py:50-130); no_trans skips the head."""
+    from stereoformer_tpu.nn import DeformRoIPooling, DeformRoIPoolingPack
+    from stereoformer_tpu.ops.deform_roi import deform_psroi_pool
+
+    rng = np.random.RandomState(3)
+    feats = jnp.asarray(rng.randn(2, 16, 20, 8).astype(np.float32))
+    rois = jnp.asarray(
+        [[0, 2, 3, 12, 11], [1, 0, 0, 19, 15]], jnp.float32
+    )
+    m = DeformRoIPoolingPack(pooled_size=5, trans_std=0.1)
+    v = m.init(jax.random.PRNGKey(0), feats, rois)
+    y = m.apply(v, feats, rois)
+    align = deform_psroi_pool(feats, rois, None, pooled_size=5,
+                              trans_std=0.1)
+    np.testing.assert_allclose(np.asarray(y), 0.5 * np.asarray(align),
+                               atol=1e-5)
+    assert y.shape == (2, 5, 5, 8)
+
+    # thin module == op (explicit offsets)
+    off = jnp.asarray(rng.randn(2, 5, 5, 2).astype(np.float32))
+    thin = DeformRoIPooling(pooled_size=5, trans_std=0.1)
+    yt = thin.apply({}, feats, rois, off)
+    y_op = deform_psroi_pool(feats, rois, off, pooled_size=5, trans_std=0.1)
+    np.testing.assert_allclose(np.asarray(yt), np.asarray(y_op), atol=1e-6)

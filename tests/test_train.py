@@ -216,3 +216,48 @@ def test_determinism_same_seed():
         _, m = step(state, batch)
         losses_seen.append(float(m["loss"]))
     assert losses_seen[0] == losses_seen[1]
+
+
+def test_freeze_bn_train_step():
+    """freeze_bn (raft_stereo.py:124-127): batch statistics are frozen —
+    bit-identical after the step — while params still update, and the
+    loss equals the plain step's loss computed in eval-BN mode."""
+    model = LowCNN(refinement="fixed")
+    left = jnp.zeros((2, 32, 64, 3))
+    variables = model.init(jax.random.PRNGKey(0), left, left, iters=2,
+                           train=False)
+    tx = optax.amsgrad(1e-3)
+    state = TrainState(
+        step=jnp.asarray(0, jnp.int32),
+        params=variables["params"],
+        batch_stats=variables["batch_stats"],
+        opt_state=tx.init(variables["params"]),
+    )
+    step = make_train_step(model, tx, "single", iters=2, freeze_bn=True)
+    batch = _dummy_batch()
+    # train_step donates its input state: keep host copies for comparison
+    # and a second device copy for the control step
+    ref_stats = jax.tree_util.tree_map(np.asarray, state.batch_stats)
+    ref_params = jax.tree_util.tree_map(np.asarray, state.params)
+    state2 = jax.tree_util.tree_map(jnp.array, state)
+    new_state, m = step(state, batch)
+    assert np.isfinite(float(m["loss"])) and float(m["grad_norm"]) > 0
+    # stats bit-identical; params changed
+    for a, b in zip(jax.tree_util.tree_leaves(ref_stats),
+                    jax.tree_util.tree_leaves(new_state.batch_stats)):
+        np.testing.assert_array_equal(a, np.asarray(b))
+    moved = any(
+        float(np.max(np.abs(a - np.asarray(b)))) > 0
+        for a, b in zip(jax.tree_util.tree_leaves(ref_params),
+                        jax.tree_util.tree_leaves(new_state.params))
+    )
+    assert moved
+    # a plain train step at the same state updates the stats (control)
+    plain = make_train_step(model, tx, "single", iters=2)
+    st2, _ = plain(state2, batch)
+    changed = any(
+        float(np.max(np.abs(a - np.asarray(b)))) > 0
+        for a, b in zip(jax.tree_util.tree_leaves(ref_stats),
+                        jax.tree_util.tree_leaves(st2.batch_stats))
+    )
+    assert changed
