@@ -143,12 +143,23 @@ def local_soft_argmin(
     """Resample + softmax + expectation over the candidates
     (update.py:307-313).  Returns disp [B, H, W, 1].
 
-    ``impl``: "pallas" forces the fused Pallas kernel (9× the XLA path on
-    *isolated* large tensors, measured v5e — but inside the jitted model
-    XLA fuses this op with its producers/consumers and wins by ~5%, so
-    "auto" currently means XLA; revisit when the whole GRU update is one
-    kernel).  Values and gradients are identical (parity-tested).
+    ``impl``: "pallas" forces the fused Pallas kernel pair (forward AND
+    hand-written backward, ops/pallas/local_refine.py).  Measured v5e:
+    9× the XLA path isolated, but inside the jitted model XLA fuses the
+    *forward* with its producers/consumers and wins at eval, so "auto"
+    means XLA; the training path (where the backward's elementwise tail
+    is ~23% of the step's backward) is routed explicitly by the caller
+    (GRUUpdate passes impl per measurement — see BENCHMARKS.md).
+    ``STEREOFORMER_LOCAL_REFINE=pallas|xla`` (trace-time env) overrides
+    "auto" for A/B measurement.  Values and gradients are identical
+    (parity-tested, incl. subgradient tie choices).
     """
+    if impl == "auto":
+        import os
+
+        env = os.environ.get("STEREOFORMER_LOCAL_REFINE", "")
+        if env == "pallas" and jax.default_backend() == "tpu":
+            impl = "pallas"
     if impl == "pallas":
         from .pallas.local_refine import fused_local_soft_argmin
 

@@ -39,6 +39,34 @@ def test_fused_local_refine_grads(vol_cands):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-4)
 
 
+def test_fused_local_refine_grads_at_subgradient_points():
+    """Exact integer / boundary candidates: the kernel's hand-written
+    backward must reproduce the XLA autodiff's subgradient choices
+    (clip-boundary 0.5 tie, Δ=0 tie cancelling, relu'(0)=0)."""
+    rng = np.random.RandomState(3)
+    vol = jnp.asarray(rng.randn(1, 2, 8, 24).astype(np.float32))
+    # candidates exactly at 0, D-1, interior integers, and hat edges
+    cands = jnp.asarray(
+        np.stack([
+            np.full((2, 8), 0.0), np.full((2, 8), 23.0),
+            np.full((2, 8), 5.0), np.full((2, 8), 4.5),
+            np.full((2, 8), 6.0), np.full((2, 8), -1.0),
+            np.full((2, 8), 24.0), np.full((2, 8), 11.25),
+        ], axis=-1)[None].astype(np.float32)
+    )
+
+    def f_ref(v, c):
+        return jnp.sum(jnp.sin(ops.local_soft_argmin(v, c)))
+
+    def f_ker(v, c):
+        return jnp.sum(jnp.sin(fused_local_soft_argmin(v, c, True)))
+
+    ga = jax.grad(f_ref, argnums=(0, 1))(vol, cands)
+    gb = jax.grad(f_ker, argnums=(0, 1))(vol, cands)
+    for a, b in zip(ga, gb):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5)
+
+
 @pytest.fixture(scope="module")
 def feats():
     rng = np.random.RandomState(1)
