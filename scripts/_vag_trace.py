@@ -1,0 +1,56 @@
+"""Capture a device trace of the flagship value_and_grad for hlo_stats
+attribution.  usage: _vag_trace.py <outdir> [bf16|f32] — then
+PROTOCOL_BUFFERS_PYTHON_IMPLEMENTATION=python python scripts/hlo_stats.py <outdir>
+"""
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from stereoformer_tpu.utils import enable_persistent_cache
+
+enable_persistent_cache()
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from stereoformer_tpu.models import get_model
+from stereoformer_tpu.losses import sequence_loss
+
+OUT = sys.argv[1] if len(sys.argv) > 1 else "/tmp/vag_trace"
+DTYPE = sys.argv[2] if len(sys.argv) > 2 else "bf16"
+B, H, W, ITERS = int(os.environ.get("PHASE_B", "4")), 320, 640, 12
+
+kw = {"dtype": jnp.bfloat16} if DTYPE == "bf16" else {}
+model = get_model("LowCNN_gru", **kw)
+rng = np.random.RandomState(0)
+left = jnp.asarray(rng.randn(B, H, W, 3).astype(np.float32))
+right = jnp.asarray(rng.randn(B, H, W, 3).astype(np.float32))
+gt = jnp.asarray((40 + 10 * rng.randn(B, H, W, 1)).astype(np.float32))
+
+variables = jax.jit(
+    lambda l, r: model.init(jax.random.PRNGKey(0), l, r, iters=1, train=False)
+)(left, right)
+params, batch_stats = variables["params"], variables["batch_stats"]
+
+
+def vag(params, batch_stats, l, r, g):
+    def fwd(p):
+        out, upd = model.apply(
+            {"params": p, "batch_stats": batch_stats}, l, r,
+            iters=ITERS, train=True, mutable=["batch_stats"],
+        )
+        return sequence_loss(out["disparities"], g), upd
+
+    (loss, upd), grads = jax.value_and_grad(fwd, has_aux=True)(params)
+    return loss, upd, grads
+
+
+c = jax.jit(vag).lower(params, batch_stats, left, right, gt).compile()
+out = c(params, batch_stats, left, right, gt)
+float(out[0])
+with jax.profiler.trace(OUT):
+    outs = [c(params, batch_stats, left, right, gt) for _ in range(6)]
+    float(outs[-1][0])
+print("trace written to", OUT)

@@ -1,7 +1,9 @@
-"""Phase decomposition of the flagship train step: forward+loss alone,
+"""Phase decomposition of a model's train step: forward+loss alone,
 value_and_grad (fwd+bwd), and the full optimizer step, at the reference
 train config — attributes the step time to forward vs backward vs
 optimizer and reports per-phase MFU from XLA's own FLOP count.
+
+usage: train_phase_bench.py [bf16|f32] [LowCNN_gru|RAFT_Stereo|...]
 
 The eval forward runs at ~43% of bf16 peak (BENCHMARKS.md MFU matrix);
 this script answers where the train step's budget goes.
@@ -26,10 +28,14 @@ from stereoformer_tpu.models import get_model
 from stereoformer_tpu.train import TrainState, make_train_step
 from stereoformer_tpu.losses import sequence_loss
 
-B, H, W, ITERS = int(os.environ.get("PHASE_B", "4")), 320, 640, 12
+MODEL = sys.argv[2] if len(sys.argv) > 2 else "LowCNN_gru"
+# RAFT trains at the RAFT-Stereo paper crop 320x720 (raft_bench.py row)
+B = int(os.environ.get("PHASE_B", "4"))
+H, W = (320, 720) if MODEL.startswith("RAFT") else (320, 640)
+ITERS = 12
 DTYPE = sys.argv[1] if len(sys.argv) > 1 else "bf16"
 if DTYPE not in ("bf16", "f32"):
-    sys.exit(f"usage: train_phase_bench.py [bf16|f32] (got {DTYPE!r})")
+    sys.exit(f"usage: train_phase_bench.py [bf16|f32] [model] (got {DTYPE!r})")
 # v5e matmul peak for the chosen dtype (f32 runs on the MXU at half the
 # bf16 rate) — '% peak' is always against the dtype actually benchmarked
 PEAK_TFLOPS = {"bf16": 197.0, "f32": 98.5}[DTYPE]
@@ -37,7 +43,7 @@ PEAK_TFLOPS = {"bf16": 197.0, "f32": 98.5}[DTYPE]
 kw = {}
 if DTYPE == "bf16":
     kw["dtype"] = jnp.bfloat16
-model = get_model("LowCNN_gru", **kw)
+model = get_model(MODEL, **kw)
 rng = np.random.RandomState(0)
 left = jnp.asarray(rng.randn(B, H, W, 3).astype(np.float32))
 right = jnp.asarray(rng.randn(B, H, W, 3).astype(np.float32))

@@ -24,6 +24,7 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 import flax.linen as nn
+from ..nn.conv import Conv
 
 from .. import ops
 from ..nn.blocks import ConvLReLU, FPNFusion, ResBlock, he_normal
@@ -72,12 +73,12 @@ class CrossAttentionStereo(nn.Module):
         feat_l, feat_r = jnp.split(feats, 2, axis=0)
 
         # --- cross-attention cost volume at 1/8 ---
-        proj = lambda name: nn.Conv(
+        proj = lambda name: Conv(
             self.qk_dim, (1, 1), kernel_init=he_normal(), dtype=dt, name=name
         )
         q = proj("proj_q")(feat_l)
         k = proj("proj_k")(feat_r)
-        v = nn.Conv(128, (1, 1), kernel_init=he_normal(), dtype=dt,
+        v = Conv(128, (1, 1), kernel_init=he_normal(), dtype=dt,
                     name="proj_v")(feat_r)
         scores, attended = ops.banded_attention(
             q.astype(jnp.float32), k.astype(jnp.float32),
@@ -93,10 +94,10 @@ class CrossAttentionStereo(nn.Module):
              feat_l.astype(jnp.float32)],
             axis=-1,
         )
-        volume = nn.Conv(2 * D, (1, 1), kernel_init=he_normal(), dtype=dt,
+        volume = Conv(2 * D, (1, 1), kernel_init=he_normal(), dtype=dt,
                          name="fuse1")(ctx)
         volume = nn.relu(volume)
-        volume = nn.Conv(D, (3, 3), padding=1, kernel_init=he_normal(),
+        volume = Conv(D, (3, 3), padding=1, kernel_init=he_normal(),
                          dtype=dt, name="fuse2")(volume)
         for i in range(3):
             volume = ResBlock(D, dtype=dt, name=f"agg{i}")(volume, train=train)

@@ -39,6 +39,7 @@ import flax.linen as nn
 
 from .. import ops
 from ..nn.blocks import ConvLReLU, FPNFusion, ResBlock, he_normal
+from ..nn.conv import Conv
 from ..nn.update import GRUUpdate, LearnedBounds
 
 
@@ -52,10 +53,10 @@ class ConvAffinityUpsample(nn.Module):
     @nn.compact
     def __call__(self, feature):
         x = nn.relu(
-            nn.Conv(self.hidden, (3, 3), padding=1, kernel_init=he_normal(),
+            Conv(self.hidden, (3, 3), padding=1, kernel_init=he_normal(),
                     dtype=self.dtype)(feature)
         )
-        return 0.25 * nn.Conv(
+        return 0.25 * Conv(
             8 * 8 * 9, (1, 1), kernel_init=he_normal(), dtype=self.dtype
         )(x).astype(jnp.float32)
 

@@ -22,6 +22,7 @@ from typing import Optional, Sequence
 import jax
 import jax.numpy as jnp
 import flax.linen as nn
+from ..nn.conv import Conv
 
 from .. import ops
 from ..nn.raft.encoders import BasicEncoder, MultiBasicEncoder, he_out
@@ -84,7 +85,7 @@ class RAFTStereo(nn.Module):
         # per-scale context gate biases (raft_stereo.py:148)
         ctx = []
         for i, c in enumerate(inp):
-            z = nn.Conv(
+            z = Conv(
                 self.hidden_dims[i] * 3, (3, 3), padding=1, dtype=self.dtype,
                 kernel_init=he_out(), name=f"context_zqr{i}",
             )(c)

@@ -1,5 +1,6 @@
 """Flax module layer."""
 
+from .conv import Conv
 from .blocks import (
     ConvBnRelu,
     ConvLReLU,
@@ -29,6 +30,7 @@ from .update import (
 )
 
 __all__ = [
+    "Conv",
     "ConvBnRelu",
     "ConvLReLU",
     "DeformBlock",

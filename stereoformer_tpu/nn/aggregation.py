@@ -35,6 +35,9 @@ class ConvBn3D(nn.Module):
     @nn.compact
     def __call__(self, x, train: bool = True):
         k = self.kernel_size
+        # 3-D conv: stays on flax nn.Conv (the custom-dw Conv in
+        # nn/conv.py is 2-D; these PSMNet-legacy 3-D volumes are not in
+        # any reference model's train path)
         x = nn.Conv(
             self.features, (k, k, k), strides=self.stride,
             padding=k // 2, use_bias=False, kernel_init=he_normal(),

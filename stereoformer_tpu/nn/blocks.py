@@ -30,6 +30,7 @@ from ..ops import (
     modulated_deform_conv_windowed,
     resize_bilinear,
 )
+from .conv import Conv
 
 he_normal = nn.initializers.he_normal
 
@@ -122,7 +123,7 @@ class ConvLReLU(nn.Module):
 
     @nn.compact
     def __call__(self, x, train: bool = True):
-        x = nn.Conv(
+        x = Conv(
             self.features,
             (self.kernel_size, self.kernel_size),
             strides=self.stride,
@@ -199,7 +200,7 @@ class ConvBnRelu(nn.Module):
 
     @nn.compact
     def __call__(self, x, train: bool = True):
-        x = nn.Conv(
+        x = Conv(
             self.features,
             (self.kernel_size, self.kernel_size),
             strides=self.stride,
@@ -226,7 +227,7 @@ class ResBlock(nn.Module):
         norm = lambda: nn.BatchNorm(
             use_running_average=not train, momentum=0.9, dtype=self.dtype
         )
-        conv = lambda f, k, s, name=None: nn.Conv(
+        conv = lambda f, k, s, name=None: Conv(
             f, (k, k), strides=s, padding=(k - 1) // 2 if k > 1 else 0,
             kernel_init=he_normal(), dtype=self.dtype, name=name,
         )
@@ -280,7 +281,7 @@ class DeformConv(nn.Module):
         # offset/mask conv is zero-initialised so the op starts as a plain
         # conv with 0.5 modulation (ModulatedDeformConvPack.init_offset);
         # offsets stay f32 (sub-pixel coordinates are precision-sensitive)
-        om = nn.Conv(
+        om = Conv(
             3 * K,
             (k, k),
             strides=self.stride,
@@ -347,12 +348,12 @@ class DeformBlock(nn.Module):
         )
         residual = x
         if self.stride != 1 or x.shape[-1] != self.features:
-            residual = nn.Conv(
+            residual = Conv(
                 self.features, (1, 1), strides=self.stride,
                 kernel_init=he_normal(), dtype=self.dtype, name="shortcut_conv",
             )(x)
             residual = norm()(residual)
-        out = nn.Conv(
+        out = Conv(
             self.features,
             (self.kernel_size, self.kernel_size),
             strides=self.stride,

@@ -38,6 +38,7 @@ from typing import Optional
 
 import jax.numpy as jnp
 import flax.linen as nn
+from .conv import Conv
 
 from ..ops import modulated_deform_conv
 from ..ops.deform_roi import deform_psroi_pool
@@ -103,7 +104,7 @@ class ModulatedDeformNormal(nn.Module):
         K = k * k
         C = input_feature.shape[-1]
         # offsets stay f32 (sub-pixel coordinates are precision-sensitive)
-        om = nn.Conv(
+        om = Conv(
             3 * K, (k, k), strides=self.stride, padding=self.padding,
             kernel_init=nn.initializers.zeros,
             bias_init=nn.initializers.zeros,
@@ -176,7 +177,7 @@ class DeformConvV1Pack(nn.Module):
     def __call__(self, x):
         k = self.kernel_size
         K = k * k
-        off = nn.Conv(
+        off = Conv(
             2 * K, (k, k), strides=self.stride, padding=self.padding,
             kernel_init=nn.initializers.zeros,
             bias_init=nn.initializers.zeros,

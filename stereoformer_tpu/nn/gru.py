@@ -17,6 +17,8 @@ from typing import Optional
 import jax.numpy as jnp
 import flax.linen as nn
 
+from .conv import Conv
+
 orthogonal = nn.initializers.orthogonal
 
 
@@ -63,7 +65,7 @@ class ConvGRU(nn.Module):
         if h is None:
             h = jnp.zeros(x.shape[:-1] + (self.hidden_dim,), x.dtype)
         xh = jnp.concatenate([x, h], axis=-1)
-        zb = nn.Conv(
+        zb = Conv(
             2 * self.hidden_dim, (3, 3), padding=1,
             kernel_init=stacked_orthogonal(2), bias_init=nn.initializers.zeros,
             dtype=self.dtype, name="conv_zb",
@@ -71,7 +73,7 @@ class ConvGRU(nn.Module):
         z = nn.sigmoid(zb[..., : self.hidden_dim])
         b = nn.sigmoid(zb[..., self.hidden_dim :])
         s = jnp.concatenate([b * h, x], axis=-1)
-        g = nn.Conv(
+        g = Conv(
             self.hidden_dim, (3, 3), padding=1,
             kernel_init=orthogonal(), bias_init=nn.initializers.zeros,
             dtype=self.dtype, name="conv_g",
@@ -92,14 +94,14 @@ class SepConvGRU(nn.Module):
     def __call__(self, h: jnp.ndarray, x: jnp.ndarray) -> jnp.ndarray:
         def gated(h, x, ksize, suffix):
             hx = jnp.concatenate([h, x], axis=-1)
-            zr = nn.Conv(
+            zr = Conv(
                 2 * self.hidden_dim, ksize, padding="SAME",
                 name="convzr" + suffix,
             )(hx)
             z = nn.sigmoid(zr[..., : self.hidden_dim])
             r = nn.sigmoid(zr[..., self.hidden_dim :])
             q = nn.tanh(
-                nn.Conv(self.hidden_dim, ksize, padding="SAME",
+                Conv(self.hidden_dim, ksize, padding="SAME",
                         name="convq" + suffix)(
                     jnp.concatenate([r * h, x], axis=-1)
                 )

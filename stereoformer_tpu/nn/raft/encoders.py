@@ -15,6 +15,7 @@ from __future__ import annotations
 from typing import Sequence
 
 import flax.linen as nn
+from ..conv import Conv
 import jax
 import jax.numpy as jnp
 
@@ -185,7 +186,7 @@ class RaftResidualBlock(nn.Module):
             y = FusedConv(self.features, 3, kernel_init=he_out(), dtype=dt,
                           name="Conv_0")(x)
         else:
-            y = nn.Conv(self.features, (3, 3), strides=self.stride, padding=1,
+            y = Conv(self.features, (3, 3), strides=self.stride, padding=1,
                         kernel_init=he_out(), dtype=dt, name="Conv_0")(x)
         # conv1|norm|relu|conv2 seam: the norm+ReLU becomes conv2's
         # fused input prologue (FusedConv) — only the tiny [N,C] stats
@@ -205,7 +206,7 @@ class RaftResidualBlock(nn.Module):
         y = _Norm(self.norm, self.features, dt)(y, train)
         y = nn.relu(y)
         if self.stride != 1 or x.shape[-1] != self.features:
-            x = nn.Conv(self.features, (1, 1), strides=self.stride,
+            x = Conv(self.features, (1, 1), strides=self.stride,
                         kernel_init=he_out(), dtype=dt, name="downsample")(x)
             x = _Norm(self.norm, self.features, dt)(x, train)
         return nn.relu(x + y)
@@ -223,15 +224,15 @@ class BottleneckBlock(nn.Module):
     def __call__(self, x, train: bool = True):
         dt = self.dtype
         q = self.features // 4
-        y = nn.Conv(q, (1, 1), kernel_init=he_out(), dtype=dt)(x)
+        y = Conv(q, (1, 1), kernel_init=he_out(), dtype=dt)(x)
         y = nn.relu(_Norm(self.norm, q, dt)(y, train))
-        y = nn.Conv(q, (3, 3), strides=self.stride, padding=1,
+        y = Conv(q, (3, 3), strides=self.stride, padding=1,
                     kernel_init=he_out(), dtype=dt)(y)
         y = nn.relu(_Norm(self.norm, q, dt)(y, train))
-        y = nn.Conv(self.features, (1, 1), kernel_init=he_out(), dtype=dt)(y)
+        y = Conv(self.features, (1, 1), kernel_init=he_out(), dtype=dt)(y)
         y = nn.relu(_Norm(self.norm, self.features, dt)(y, train))
         if self.stride != 1:
-            x = nn.Conv(self.features, (1, 1), strides=self.stride,
+            x = Conv(self.features, (1, 1), strides=self.stride,
                         kernel_init=he_out(), dtype=dt, name="downsample")(x)
             x = _Norm(self.norm, self.features, dt)(x, train)
         return nn.relu(x + y)
@@ -249,7 +250,7 @@ class BasicEncoder(nn.Module):
     def __call__(self, x, train: bool = True):
         d = self.downsample
         dt = self.dtype
-        x = nn.Conv(64, (7, 7), strides=1 + (d > 2), padding=3,
+        x = Conv(64, (7, 7), strides=1 + (d > 2), padding=3,
                     kernel_init=he_out(), dtype=dt)(x)
         x = nn.relu(_Norm(self.norm, 64, dt)(x, train))
         for i, (dim, stride) in enumerate(
@@ -259,7 +260,7 @@ class BasicEncoder(nn.Module):
                                   name=f"layer{i+1}a")(x, train)
             x = RaftResidualBlock(dim, self.norm, 1, dtype=dt,
                                   name=f"layer{i+1}b")(x, train)
-        return nn.Conv(self.output_dim, (1, 1), kernel_init=he_out(),
+        return Conv(self.output_dim, (1, 1), kernel_init=he_out(),
                        dtype=dt)(x)
 
 
@@ -280,7 +281,7 @@ class MultiBasicEncoder(nn.Module):
     def __call__(self, x, train: bool = True):
         d = self.downsample
         dt = self.dtype
-        x = nn.Conv(64, (7, 7), strides=1 + (d > 2), padding=3,
+        x = Conv(64, (7, 7), strides=1 + (d > 2), padding=3,
                     kernel_init=he_out(), dtype=dt)(x)
         x = nn.relu(_Norm(self.norm, 64, dt)(x, train))
         for i, (dim, stride) in enumerate(

@@ -16,6 +16,7 @@ from typing import Sequence
 
 import jax.numpy as jnp
 import flax.linen as nn
+from ..conv import Conv
 
 from ...ops import resize_bilinear
 from .encoders import he_out
@@ -43,10 +44,10 @@ class FlowHead(nn.Module):
 
     @nn.compact
     def __call__(self, x):
-        x = nn.relu(nn.Conv(self.hidden, (3, 3), padding=1, kernel_init=he_out(),
+        x = nn.relu(Conv(self.hidden, (3, 3), padding=1, kernel_init=he_out(),
                             dtype=self.dtype)(x))
         # the head output feeds coordinate updates: keep it f32
-        return nn.Conv(self.out, (3, 3), padding=1, kernel_init=he_out(),
+        return Conv(self.out, (3, 3), padding=1, kernel_init=he_out(),
                        dtype=jnp.float32)(x)
 
 
@@ -68,14 +69,14 @@ class ContextConvGRU(nn.Module):
         x = jnp.concatenate([i.astype(h.dtype) for i in inputs], axis=-1)
         hx = jnp.concatenate([h, x], axis=-1)
         k = self.kernel_size
-        zr = nn.Conv(
+        zr = Conv(
             2 * self.hidden_dim, (k, k), padding=k // 2, dtype=self.dtype,
             kernel_init=stacked_init(he_out(), 2), name="convzr",
         )(hx)
         z = nn.sigmoid(zr[..., : self.hidden_dim] + cz)
         r = nn.sigmoid(zr[..., self.hidden_dim :] + cr)
         q = nn.tanh(
-            nn.Conv(self.hidden_dim, (k, k), padding=k // 2, dtype=self.dtype,
+            Conv(self.hidden_dim, (k, k), padding=k // 2, dtype=self.dtype,
                     kernel_init=he_out(), name="convq")(
                 jnp.concatenate([r * h, x], axis=-1)
             )
@@ -92,12 +93,12 @@ class BasicMotionEncoder(nn.Module):
     @nn.compact
     def __call__(self, flow, corr):
         dt = self.dtype
-        c = nn.relu(nn.Conv(64, (1, 1), kernel_init=he_out(), dtype=dt)(corr))
-        c = nn.relu(nn.Conv(64, (3, 3), padding=1, kernel_init=he_out(), dtype=dt)(c))
-        f = nn.relu(nn.Conv(64, (7, 7), padding=3, kernel_init=he_out(), dtype=dt)(flow))
-        f = nn.relu(nn.Conv(64, (3, 3), padding=1, kernel_init=he_out(), dtype=dt)(f))
+        c = nn.relu(Conv(64, (1, 1), kernel_init=he_out(), dtype=dt)(corr))
+        c = nn.relu(Conv(64, (3, 3), padding=1, kernel_init=he_out(), dtype=dt)(c))
+        f = nn.relu(Conv(64, (7, 7), padding=3, kernel_init=he_out(), dtype=dt)(flow))
+        f = nn.relu(Conv(64, (3, 3), padding=1, kernel_init=he_out(), dtype=dt)(f))
         out = nn.relu(
-            nn.Conv(128 - 2, (3, 3), padding=1, kernel_init=he_out(), dtype=dt)(
+            Conv(128 - 2, (3, 3), padding=1, kernel_init=he_out(), dtype=dt)(
                 jnp.concatenate([c, f], axis=-1)
             )
         )
@@ -160,11 +161,11 @@ class MultiUpdateBlock(nn.Module):
         if not need_mask:
             return net, None, delta_flow
         m = nn.relu(
-            nn.Conv(256, (3, 3), padding=1, kernel_init=he_out(),
+            Conv(256, (3, 3), padding=1, kernel_init=he_out(),
                     dtype=self.dtype, name="mask_conv1")(net[0])
         )
         # mask logits feed a softmax (probability math stays f32)
-        mask = 0.25 * nn.Conv(
+        mask = 0.25 * Conv(
             factor * factor * 9, (1, 1), kernel_init=he_out(),
             dtype=jnp.float32, name="mask_conv2",
         )(m)

@@ -19,6 +19,7 @@ from __future__ import annotations
 
 import jax.numpy as jnp
 import flax.linen as nn
+from .conv import Conv
 
 from ..ops import disp_warp, resize_bilinear
 from .blocks import DeformConv, he_normal
@@ -43,13 +44,13 @@ class SAModule(nn.Module):
         norm = lambda: nn.BatchNorm(
             use_running_average=not train, momentum=0.9, dtype=self.dtype
         )
-        x = nn.relu(norm()(nn.Conv(
+        x = nn.relu(norm()(Conv(
             self.ndf, (1, 1), use_bias=False, kernel_init=he_normal(),
             dtype=self.dtype)(x)))
-        x = nn.relu(norm()(nn.Conv(
+        x = nn.relu(norm()(Conv(
             self.ndf, (3, 3), padding=1, use_bias=False,
             kernel_init=he_normal(), dtype=self.dtype)(x)))
-        x = nn.Conv(self.out, (1, 1), use_bias=False, kernel_init=he_normal(),
+        x = Conv(self.out, (1, 1), use_bias=False, kernel_init=he_normal(),
                     dtype=self.dtype)(x)
         return nn.sigmoid(x)
 
@@ -88,7 +89,7 @@ class ResSubmoduleAttention(nn.Module):
         gated = att * jnp.concatenate([feature, query], axis=-1)
 
         def cbr(x, feats, k=3, s=1):
-            x = nn.Conv(feats, (k, k), strides=s, padding=k // 2,
+            x = Conv(feats, (k, k), strides=s, padding=k // 2,
                         use_bias=False, kernel_init=he_normal(),
                         dtype=self.dtype)(x)
             x = nn.BatchNorm(use_running_average=not train, momentum=0.9,
@@ -113,12 +114,12 @@ class ResSubmoduleAttention(nn.Module):
             return nn.BatchNorm(use_running_average=not train, momentum=0.9,
                                 dtype=self.dtype)(x)
 
-        redir2 = nn.Conv(f * 2, (1, 1), use_bias=False,
+        redir2 = Conv(f * 2, (1, 1), use_bias=False,
                          kernel_init=he_normal(), dtype=self.dtype)(c2)
         c5 = nn.relu(up(c4, f * 2) + redir2)
-        redir1 = nn.Conv(f, (1, 1), use_bias=False, kernel_init=he_normal(),
+        redir1 = Conv(f, (1, 1), use_bias=False, kernel_init=he_normal(),
                          dtype=self.dtype)(gated)
         c6 = nn.relu(up(c5, f) + redir1)
-        res = nn.Conv(1, (1, 1), use_bias=False, kernel_init=he_normal(),
+        res = Conv(1, (1, 1), use_bias=False, kernel_init=he_normal(),
                       dtype=self.dtype)(c6)
         return res.astype(jnp.float32) * factor

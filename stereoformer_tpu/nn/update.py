@@ -33,6 +33,7 @@ from ..ops import (
     uncertainty_volume,
 )
 from .blocks import DeformBlock, ResBlock, he_normal
+from .conv import Conv
 from .gru import ConvGRU
 
 
@@ -67,7 +68,7 @@ class GuidanceEncoder(nn.Module):
         uncert = uncertainty_volume(prob, cur_disp)
 
         def enc(x, name):
-            x = nn.Conv(
+            x = Conv(
                 self.hidden, (3, 3), padding=1, use_bias=False,
                 kernel_init=he_normal(), dtype=self.dtype, name=name,
             )(x)
@@ -91,9 +92,9 @@ class OffsetHead(nn.Module):
 
     @nn.compact
     def __call__(self, x):
-        x = nn.relu(nn.Conv(self.hidden, (3, 3), padding=1,
+        x = nn.relu(Conv(self.hidden, (3, 3), padding=1,
                             kernel_init=he_normal(), dtype=self.dtype)(x))
-        out = nn.relu(nn.Conv(2, (3, 3), padding=1,
+        out = nn.relu(Conv(2, (3, 3), padding=1,
                               kernel_init=he_normal(), dtype=self.dtype)(x))
         return out.astype(jnp.float32)  # bounds are coordinates: keep f32
 
@@ -133,7 +134,7 @@ class GRUUpdate(nn.Module):
         )
         gru_dim = 2 * self.hidden + self.feature_dim
         if self.feature_dim:
-            lf = nn.Conv(
+            lf = Conv(
                 self.feature_dim, (3, 3), padding=1, use_bias=False,
                 kernel_init=he_normal(), dtype=self.dtype, name="feature_encode",
             )(left_feature)
@@ -149,10 +150,10 @@ class GRUUpdate(nn.Module):
         mask = None
         if self.with_mask:
             m = nn.relu(
-                nn.Conv(256, (3, 3), padding=1, kernel_init=he_normal(),
+                Conv(256, (3, 3), padding=1, kernel_init=he_normal(),
                         dtype=self.dtype, name="mask_conv1")(hidden_state)
             )
-            mask = 0.25 * nn.Conv(
+            mask = 0.25 * Conv(
                 64 * 9, (1, 1), kernel_init=he_normal(), dtype=self.dtype,
                 name="mask_conv2",
             )(m).astype(jnp.float32)
@@ -190,7 +191,7 @@ class SmallUNet(nn.Module):
     @nn.compact
     def __call__(self, error_map, uncert_volume, train: bool = True):
         def enc(x, name):
-            x = nn.Conv(
+            x = Conv(
                 self.hidden, (3, 3), padding=1, use_bias=False,
                 kernel_init=he_normal(), name=name,
             )(x)
@@ -204,7 +205,7 @@ class SmallUNet(nn.Module):
         x = jnp.concatenate([e, u], axis=-1)
         x = ResBlock(self.hidden)(x, train=train)
         x = DeformBlock(self.hidden // 2)(x, train=train)
-        off = nn.relu(nn.Conv(2, (3, 3), padding=1, kernel_init=he_normal())(x))
+        off = nn.relu(Conv(2, (3, 3), padding=1, kernel_init=he_normal())(x))
         return off[..., 0:1], off[..., 1:2]
 
 

@@ -220,9 +220,15 @@ def make_wsharded_value_and_grad(
             c = jax.lax.psum(jnp.sum(v), axis_name)
             return s / jnp.maximum(c, 1.0)
 
+        # check_vma=False: the custom-VJP conv (nn/conv.py) confuses the
+        # varying-manual-axes *checker* when its backward runs inside a
+        # scan under shard_map (zero-init grad carry is unvarying, the
+        # per-slab contributions vary) — JAX's own error message names
+        # this flag as the workaround; values/grads are parity-tested
+        # against the unsharded step (test_wsharded_value_and_grad_parity)
         return jax.shard_map(
             shard, mesh=mesh, in_specs=(P(), P(), P(), P(), P()),
-            out_specs=P(),
+            out_specs=P(), check_vma=False,
         )(params, l, r, gt, valid)
 
     return jax.jit(jax.value_and_grad(global_mean_loss))

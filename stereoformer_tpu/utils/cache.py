@@ -25,6 +25,18 @@ def enable_persistent_cache(cache_dir: str | None = None) -> str:
     """
     import jax
 
+    # SIGUSR1 → stack dump instead of the default terminate: every
+    # script that enables the cache becomes safely inspectable while a
+    # multi-minute remote compile is in flight (killing a TPU-holding
+    # process wedges the axon grant — CLAUDE.md)
+    try:
+        import faulthandler
+        import signal
+
+        faulthandler.register(signal.SIGUSR1)
+    except (ImportError, AttributeError, ValueError):
+        pass
+
     path = os.path.abspath(cache_dir or os.environ.get("STEREOFORMER_XLA_CACHE")
                            or DEFAULT_CACHE_DIR)
     os.makedirs(path, exist_ok=True)
