@@ -83,6 +83,7 @@ def pad_batch_to(batch: dict, size: int) -> dict:
 
 
 from .wshard import (  # noqa: E402  (W-sharded pipeline, see wshard.py)
+    allpairs_corr1d_wsharded,
     correlation_volume_wsharded,
     make_wsharded_initial_disparity,
 )

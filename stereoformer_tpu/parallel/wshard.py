@@ -234,6 +234,54 @@ def make_wsharded_value_and_grad(
     return jax.jit(jax.value_and_grad(global_mean_loss))
 
 
+def allpairs_corr1d_wsharded(
+    fmap1: jnp.ndarray, fmap2: jnp.ndarray, axis_name: str
+) -> jnp.ndarray:
+    """W-sharded RAFT all-pairs 1D correlation via a ring exchange of
+    right-feature stripes (the SURVEY §5 sketch made real; reference
+    op models/IterativeLocalCostVolume/corr/corr.py:104-111).
+
+    Call INSIDE shard_map with the W axis of both feature maps
+    partitioned over ``axis_name``: per-shard inputs [B, H, Ws, C] →
+    per-shard correlation [B, H, Ws, W_global] — the w1 (row) axis stays
+    sharded, the w2 (column) axis is materialised in full, which is what
+    the downstream pyramid/lookup need (RAFT's reach along w2 is the
+    full image width, the reason overlap-and-discard cannot cover this
+    family — see make_wsharded_model_eval note).
+
+    Ring schedule: n−1 ``ppermute`` steps, each passing the current
+    right stripe to the left neighbour so every device sees every stripe
+    once; each step contracts the local left block against the visiting
+    stripe on the MXU (one [Ws, C] × [C, Ws] matmul per (b, h)) and
+    writes the [Ws, Ws] block at its global column offset.  Communication
+    rides the ICI and overlaps with the contraction of the previous
+    stripe under XLA's latency-hiding scheduler.  Values are
+    bit-parity-tested against ``ops.allpairs_corr1d``; the op is
+    differentiable (ppermute transposes to the reverse permutation).
+    """
+    n = jax.lax.axis_size(axis_name)
+    i = jax.lax.axis_index(axis_name)
+    B, H, Ws, C = fmap2.shape
+    scale = 1.0 / jnp.sqrt(jnp.asarray(C, jnp.float32))
+    out = jnp.zeros(fmap1.shape[:3] + (n * Ws,), jnp.float32)
+    stripe = fmap2
+    src = i
+    for k in range(n):
+        blk = jnp.einsum(
+            "bhwc,bhvc->bhwv", fmap1, stripe,
+            preferred_element_type=jnp.float32,
+        ) * scale                                        # [B, H, Ws1, Ws]
+        out = jax.lax.dynamic_update_slice_in_dim(out, blk, src * Ws, axis=3)
+        if k < n - 1:
+            # receive the stripe of the right neighbour (src advances +1)
+            stripe = jax.lax.ppermute(
+                stripe, axis_name,
+                perm=[((j + 1) % n, j) for j in range(n)],
+            )
+            src = (src + 1) % n
+    return out
+
+
 def make_wsharded_initial_disparity(
     mesh: Mesh,
     max_disp: int,

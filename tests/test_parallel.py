@@ -113,6 +113,63 @@ def test_wsharded_volume_matches_unsharded_volume():
         assert np.all(v[:, :, :d, d] == 0.0)
 
 
+def test_wsharded_allpairs_corr1d_ring_bit_parity():
+    """RAFT's all-pairs W×W correlation computed with W sharded over the
+    mesh and right-feature stripes exchanged by a ring ppermute must
+    bit-match the unsharded op; the downstream pyramid + windowed lookup
+    run shard-locally on the full-w2 rows and must match too."""
+    from stereoformer_tpu import ops
+    from stereoformer_tpu.parallel.wshard import allpairs_corr1d_wsharded
+    from jax.sharding import PartitionSpec as P
+
+    B, H, W, C = 1, 3, 48, 16
+    rng = np.random.RandomState(7)
+    f1 = jnp.asarray(rng.randn(B, H, W, C).astype(np.float32))
+    f2 = jnp.asarray(rng.randn(B, H, W, C).astype(np.float32))
+    mesh = parallel.make_mesh()
+    spec = P(None, None, "data", None)
+    fn = jax.jit(jax.shard_map(
+        lambda a, b: allpairs_corr1d_wsharded(a, b, "data"),
+        mesh=mesh, in_specs=(spec, spec), out_specs=spec,
+    ))
+    corr = fn(f1, f2)
+    ref = ops.allpairs_corr1d(f1, f2)
+    np.testing.assert_allclose(np.asarray(corr), np.asarray(ref),
+                               rtol=0, atol=1e-6)
+
+    # pyramid + lookup are w1-local given full-w2 rows: run them inside
+    # the same shard_map and compare against the unsharded pipeline
+    coords = jnp.asarray(
+        rng.uniform(0, W - 1, (B, H, W)).astype(np.float32))
+
+    def sharded_lookup(a, b, co):
+        c = allpairs_corr1d_wsharded(a, b, "data")
+        pyr = ops.corr_pyramid(c, 4)
+        return ops.corr_lookup(pyr, co, radius=4)
+
+    got = jax.jit(jax.shard_map(
+        sharded_lookup, mesh=mesh,
+        in_specs=(spec, spec, P(None, None, "data")),
+        out_specs=spec,
+    ))(f1, f2, coords)
+    want = ops.corr_lookup(ops.corr_pyramid(ref, 4), coords, radius=4)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=0, atol=1e-5)
+
+    # the ring is differentiable (ppermute transposes to its reverse):
+    # grads of a scalar of the sharded corr match the unsharded grads
+    def loss_sharded(a, b):
+        return jnp.sum(jnp.sin(fn(a, b)))
+
+    def loss_ref(a, b):
+        return jnp.sum(jnp.sin(ops.allpairs_corr1d(a, b)))
+
+    ga = jax.grad(loss_sharded, (0, 1))(f1, f2)
+    gb = jax.grad(loss_ref, (0, 1))(f1, f2)
+    for x, y in zip(ga, gb):
+        np.testing.assert_allclose(np.asarray(x), np.asarray(y), atol=1e-5)
+
+
 def test_wsharded_full_model_eval_parity():
     """Overlap-and-discard full-model W-sharding: the unmodified flagship
     evaluated per-slab (+margin) must match the unsharded forward wherever
