@@ -12,6 +12,16 @@ Runs on any backend: the virtual 8-device CPU mesh
 Usage:
   python -m stereoformer_tpu.cli.scaling_bench --platform cpu \
       --per_device_batch 1 --crop_h 64 --crop_w 128 --iters 2
+
+Multi-process (one process per host; the per-host input pipeline feeds
+only its shard, assembled into the global batch by
+``global_batch_from_host_local``):
+  python -m stereoformer_tpu.cli.scaling_bench --platform cpu \
+      --coordinator localhost:9876 --num_processes 2 --process_id $i
+In this mode only the full global mesh is measured (every process must
+participate in every jit) and process 0 prints the JSON; compute
+efficiency against a separately measured single-device run (pass
+``--base_pairs_per_s``) — see tests/test_multiprocess.py.
 """
 
 from __future__ import annotations
@@ -30,11 +40,18 @@ def main(argv=None):
     p.add_argument("--crop_w", type=int, default=128)
     p.add_argument("--iters", type=int, default=2)
     p.add_argument("--reps", type=int, default=5)
+    p.add_argument("--coordinator", default=None,
+                   help="host:port for jax.distributed (multi-process mode)")
+    p.add_argument("--num_processes", type=int, default=1)
+    p.add_argument("--process_id", type=int, default=None)
+    p.add_argument("--base_pairs_per_s", type=float, default=None,
+                   help="single-device baseline for the efficiency column "
+                        "(multi-process mode has no in-run 1-device row)")
     opt = p.parse_args(argv)
 
     import os
 
-    if opt.platform == "cpu":
+    if opt.platform == "cpu" and not opt.coordinator:
         # virtual multi-device CPU mesh (must precede backend init)
         flags = os.environ.get("XLA_FLAGS", "")
         if "xla_force_host_platform_device_count" not in flags:
@@ -46,6 +63,15 @@ def main(argv=None):
 
     if opt.platform:
         jax.config.update("jax_platforms", opt.platform)
+
+    if opt.coordinator:
+        from ..parallel.distributed import initialize_multihost
+
+        assert initialize_multihost(
+            coordinator_address=opt.coordinator,
+            num_processes=opt.num_processes,
+            process_id=opt.process_id,
+        ), "multi-process initialisation failed"
 
     import jax.numpy as jnp
     import numpy as np
@@ -61,7 +87,17 @@ def main(argv=None):
     tx = optax.amsgrad(1e-4)
     results = []
 
-    n_list = [n for n in (1, 2, 4, 8, 16, 32) if n <= len(devices)]
+    multiproc = jax.process_count() > 1
+    if multiproc:
+        # every process must participate in every jitted program, so only
+        # the full global mesh is measurable in-run
+        n_list = [len(devices)]
+        from ..parallel.distributed import (
+            global_batch_from_host_local,
+            host_shard_slice,
+        )
+    else:
+        n_list = [n for n in (1, 2, 4, 8, 16, 32) if n <= len(devices)]
     for n in n_list:
         mesh = parallel.make_mesh(devices[:n])
         B = opt.per_device_batch * n
@@ -71,7 +107,14 @@ def main(argv=None):
             "img_right": rng.randn(B, H, W, 3).astype(np.float32),
             "gt_disp": np.abs(rng.randn(B, H, W, 1)).astype(np.float32) * 20,
         }
-        batch = parallel.shard_batch(batch, mesh)
+        if multiproc:
+            # per-host input pipeline: materialise only this host's rows
+            sl = host_shard_slice(B)
+            batch = global_batch_from_host_local(
+                {k: v[sl] for k, v in batch.items()}, mesh
+            )
+        else:
+            batch = parallel.shard_batch(batch, mesh)
         variables = jax.jit(
             lambda l, r: model.init(jax.random.PRNGKey(0), l, r, iters=1, train=False)
         )(batch["img_left"][:1], batch["img_right"][:1])
@@ -95,10 +138,15 @@ def main(argv=None):
         results.append({"devices": n, "global_batch": B, "step_s": dt,
                         "pairs_per_s": B / dt})
 
-    base = results[0]["pairs_per_s"]
+    base = opt.base_pairs_per_s or (
+        None if multiproc else results[0]["pairs_per_s"]
+    )
     for r in results:
-        r["efficiency"] = r["pairs_per_s"] / (base * r["devices"])
-    print(json.dumps(results))
+        r["processes"] = jax.process_count()
+        if base is not None:
+            r["efficiency"] = r["pairs_per_s"] / (base * r["devices"])
+    if jax.process_index() == 0:
+        print("SCALING " + json.dumps(results), flush=True)
     return results
 
 

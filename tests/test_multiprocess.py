@@ -67,6 +67,52 @@ def _single_process_loss() -> float:
     return float(metrics["loss"])
 
 
+def test_multiprocess_scaling_bench():
+    """The scaling harness itself under ``process_count() > 1`` (round-2
+    verdict item 8): 2 processes × 2 virtual devices drive
+    ``cli.scaling_bench`` — per-host input-shard assembly
+    (``host_shard_slice`` + ``global_batch_from_host_local``) and the
+    throughput computation run for several steps on the 4-device global
+    mesh; process 0 reports, both processes agree on the topology."""
+    port = _free_port()
+    repo_root = os.path.dirname(os.path.dirname(_WORKER))
+    worker = os.path.join(os.path.dirname(_WORKER), "_scaling_worker.py")
+    env = dict(os.environ)
+    env["PYTHONPATH"] = repo_root + os.pathsep + env.get("PYTHONPATH", "")
+    env["XLA_FLAGS"] = (
+        env.get("XLA_FLAGS", "").replace(
+            "--xla_force_host_platform_device_count=8", ""
+        )
+        + " --xla_force_host_platform_device_count=2"
+    ).strip()
+    env["JAX_PLATFORMS"] = "cpu"
+    procs = [
+        subprocess.Popen(
+            [sys.executable, worker, str(pid), "2", str(port)],
+            stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True,
+            env=env, cwd=repo_root,
+        )
+        for pid in range(2)
+    ]
+    outs = [p.communicate(timeout=900)[0] for p in procs]
+    for p, out in zip(procs, outs):
+        assert p.returncode == 0, f"scaling worker failed:\n{out}"
+    # process 0 printed the JSON row for the full 4-device mesh
+    row_lines = [l for l in outs[0].splitlines() if l.startswith("SCALING ")]
+    assert row_lines, outs[0]
+    import json
+
+    rows = json.loads(row_lines[0][len("SCALING "):])
+    assert rows[-1]["devices"] == 4 and rows[-1]["processes"] == 2
+    assert rows[-1]["pairs_per_s"] > 0
+    # both workers measured the same topology
+    oks = [
+        [l for l in out.splitlines() if l.startswith("SCALING_OK")][0]
+        for out in outs
+    ]
+    assert all(ok.split()[2] == "4" for ok in oks), oks
+
+
 def test_two_process_spmd_matches_single_process():
     port = _free_port()
     repo_root = os.path.dirname(os.path.dirname(_WORKER))
