@@ -137,6 +137,96 @@ def main():
     except OSError:
         pass
 
+    # --- RAFT-Stereo rows: the Pallas-conv kernel path (fused conv +
+    # norm-prologue fusion in the encoders/GRU cascade) must be
+    # driver-certified, not builder-self-reported (round-2 verdict #3).
+    # eval B=2 @ 576x960 12 iters test_mode; train step B=4 @ 320x720.
+    # BENCH_RAFT=0 skips (budget escape hatch).
+    raft = {}
+    if os.environ.get("BENCH_RAFT", "1") != "0":
+        try:
+            import optax
+
+            from stereoformer_tpu.models import RAFTStereo
+            from stereoformer_tpu.losses import sequence_loss
+
+            rmodel = RAFTStereo(dtype=jnp.bfloat16)
+            Br, Hr, Wr = 2, H, W
+            rl = jnp.asarray(rng.uniform(0, 255, (Br, Hr, Wr, 3)).astype(
+                np.float32))
+            rr = jnp.asarray(rng.uniform(0, 255, (Br, Hr, Wr, 3)).astype(
+                np.float32))
+            rparams = jax.jit(
+                lambda k, a, b: rmodel.init(k, a, b, 12, None, True, False)
+            )(jax.random.PRNGKey(0), rl, rr)
+            rfwd = jax.jit(
+                lambda p, a, b: rmodel.apply(
+                    p, a, b, iters=12, test_mode=True, train=False
+                )["disparities"][-1]
+            )
+            _phase("raft: eval compiling")
+            y = rfwd(rparams, rl, rr)
+            assert bool(jnp.isfinite(y.astype(jnp.float32)).all())
+            float(jnp.sum(y.astype(jnp.float32)))
+            _phase("raft: eval compiled+warm")
+            t0 = time.perf_counter()
+            reps = 20
+            for _ in range(reps):
+                y = rfwd(rparams, rl, rr)
+            float(jnp.sum(y.astype(jnp.float32)))
+            dt = (time.perf_counter() - t0) / reps
+            raft["raft_eval_ms_per_batch"] = round(dt * 1e3, 2)
+            raft["raft_eval_pairs_per_sec"] = round(Br / dt, 3)
+            _phase(f"raft: eval {raft['raft_eval_pairs_per_sec']} pairs/s")
+
+            Bt, Ht, Wt = 4, 320, 720
+            tl = jnp.asarray(rng.uniform(0, 255, (Bt, Ht, Wt, 3)).astype(
+                np.float32))
+            tr_ = jnp.asarray(rng.uniform(0, 255, (Bt, Ht, Wt, 3)).astype(
+                np.float32))
+            tgt = jnp.asarray(rng.uniform(0, 192, (Bt, Ht, Wt, 1)).astype(
+                np.float32))
+            tvars = jax.jit(
+                lambda k, a, b: rmodel.init(k, a, b, 12, None, False, True)
+            )(jax.random.PRNGKey(0), tl, tr_)
+            tparams = tvars["params"]
+            tbs = tvars.get("batch_stats", {})
+            tx = optax.adam(2e-4)
+            topt = jax.jit(tx.init)(tparams)
+
+            def rstep(params, bstats, opt_state, l, r, g):
+                def loss_fn(p):
+                    out, nv = rmodel.apply(
+                        {"params": p, "batch_stats": bstats}, l, r,
+                        iters=12, train=True, mutable=["batch_stats"],
+                    )
+                    return sequence_loss(out["disparities"], g), nv
+
+                (loss, nv), grads = jax.value_and_grad(
+                    loss_fn, has_aux=True)(params)
+                updates, opt_state = tx.update(grads, opt_state, params)
+                params = optax.apply_updates(params, updates)
+                return params, nv["batch_stats"], opt_state, loss
+
+            jstep = jax.jit(rstep, donate_argnums=(0, 1, 2))
+            _phase("raft: train step compiling")
+            tparams, tbs, topt, loss = jstep(tparams, tbs, topt, tl, tr_, tgt)
+            float(loss)
+            _phase("raft: train step compiled+warm")
+            t0 = time.perf_counter()
+            reps = 15
+            for _ in range(reps):
+                tparams, tbs, topt, loss = jstep(
+                    tparams, tbs, topt, tl, tr_, tgt)
+            float(loss)
+            dt = (time.perf_counter() - t0) / reps
+            raft["raft_train_ms_per_step"] = round(dt * 1e3, 2)
+            raft["raft_train_pairs_per_sec"] = round(Bt / dt, 3)
+            raft["raft_train_config"] = f"B={Bt} @ {Ht}x{Wt} 12 iters"
+            _phase(f"raft: train {raft['raft_train_ms_per_step']} ms/step")
+        except Exception as e:  # a RAFT failure must not lose the flagship row
+            raft["raft_error"] = f"{type(e).__name__}: {e}"[:300]
+
     bf16_err = float(np.mean(np.abs(
         disp_maps["bf16"].astype(np.float64) -
         disp_maps["f32"].astype(np.float64))))
@@ -158,6 +248,7 @@ def main():
         "bf16_pairs_per_sec": round(results["bf16"]["pairs_per_sec"], 3),
         "bf16_vs_f32_mean_abs_disp_px": round(bf16_err, 4),
     }
+    record.update(raft)
     flops_per_pair = results[headline]["flops_per_pair"]
     if flops_per_pair is not None:
         achieved_tflops = flops_per_pair * pairs_per_sec / 1e12
