@@ -1,5 +1,5 @@
-"""Capture a device trace of the flagship value_and_grad for hlo_stats
-attribution.  usage: _vag_trace.py <outdir> [bf16|f32] — then
+"""Capture a device trace of a model's value_and_grad for hlo_stats
+attribution.  usage: _vag_trace.py <outdir> [bf16|f32] [model] — then
 PROTOCOL_BUFFERS_PYTHON_IMPLEMENTATION=python python scripts/hlo_stats.py <outdir>
 """
 import os
@@ -20,10 +20,13 @@ from stereoformer_tpu.losses import sequence_loss
 
 OUT = sys.argv[1] if len(sys.argv) > 1 else "/tmp/vag_trace"
 DTYPE = sys.argv[2] if len(sys.argv) > 2 else "bf16"
-B, H, W, ITERS = int(os.environ.get("PHASE_B", "4")), 320, 640, 12
+MODEL = sys.argv[3] if len(sys.argv) > 3 else "LowCNN_gru"
+B = int(os.environ.get("PHASE_B", "4"))
+H, W = (320, 720) if MODEL.startswith("RAFT") else (320, 640)
+ITERS = 12
 
 kw = {"dtype": jnp.bfloat16} if DTYPE == "bf16" else {}
-model = get_model("LowCNN_gru", **kw)
+model = get_model(MODEL, **kw)
 rng = np.random.RandomState(0)
 left = jnp.asarray(rng.randn(B, H, W, 3).astype(np.float32))
 right = jnp.asarray(rng.randn(B, H, W, 3).astype(np.float32))
