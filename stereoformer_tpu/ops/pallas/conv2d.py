@@ -266,14 +266,44 @@ def _fwd(x, w, b, residual, relu, tile_h, interpret):
     return out, (x, w, b, out if relu else None, residual is not None)
 
 
+def _dw(x, gpre, kh, kw, ph, pw, interpret, dtype):
+    """Weight gradient of the fused conv's sites.
+
+    Default: the Pallas dw kernel (ops/pallas/dw_conv.py) — at THESE
+    sites (full/half-res C=64-96, the FusedConv shape class) the XLA
+    CHWN dw conv is HBM-bound at 21-34 TF/s (RAFT vag trace, ~14 ms of
+    a 194 ms step across fnet/cnet layer1 alone) because it re-reads
+    re-laid-out copies of both operands; the kernel reads x and g once
+    each.  This is the opposite verdict from the flagship's 1/8-res
+    sites (nn/conv.py:_auto_dw), where call overhead dominates — same
+    kernel, routed by shape class, both measured.
+    ``STEREOFORMER_FUSEDCONV_DW=xla`` restores the CHWN conv (A/B).
+    """
+    import os
+
+    if (
+        os.environ.get("STEREOFORMER_FUSEDCONV_DW", "") != "xla"
+        and x.shape[-1] >= 16
+        and all(isinstance(d, int) for d in x.shape)
+    ):
+        from .dw_conv import conv2d_dw_pallas
+
+        return conv2d_dw_pallas(x, gpre, (kh, kw),
+                                interpret=interpret).astype(dtype)
+    return jax.lax.conv_general_dilated(
+        x, gpre, (1, 1), [(ph, ph), (pw, pw)],
+        dimension_numbers=("CHWN", "IHWO", "HWNC"),
+        preferred_element_type=jnp.float32,
+    ).astype(dtype)
+
+
 def _bwd(relu, tile_h, interpret, res, g):
     """Hand-written backward so the input gradient ALSO rides the Pallas
     kernel: for a stride-1 SAME conv, dx is itself a stride-1 SAME conv
     of the cotangent with the spatially-flipped, io-transposed weights —
     the exact full-res C<=128 shape class where XLA's conv emitter is
-    slowest (the reason this kernel exists).  dw contracts the batch and
-    spatial dims down to [kh,kw,C,Co] and stays on XLA (a reduce-shaped
-    conv XLA emits well).
+    slowest (the reason this kernel exists).  dw goes through ``_dw``
+    (Pallas dw kernel at these shapes; see its docstring).
 
     ReLU deviation (documented): the saved-output mask ``out > 0`` gives
     the pre-activation gradient 0 at exactly-zero pre-activations, where
@@ -292,13 +322,7 @@ def _bwd(relu, tile_h, interpret, res, g):
         gpre, w_rot, jnp.zeros((C,), gpre.dtype), None, False, tile_h,
         interpret,
     ).astype(x.dtype)
-    # dw[di,dj,c,co] = sum_{b,h,w} x[b,h+di-ph,w+dj-pw,c] * gpre[b,h,w,co]
-    # — a conv contracting x's batch as the input feature ("CHWN"/"IHWO")
-    dw = jax.lax.conv_general_dilated(
-        x, gpre, (1, 1), [(ph, ph), (pw, pw)],
-        dimension_numbers=("CHWN", "IHWO", "HWNC"),
-        preferred_element_type=jnp.float32,
-    ).astype(w.dtype)
+    dw = _dw(x, gpre, kh, kw, ph, pw, interpret, w.dtype)
     dres = gpre if has_res else None
     return dx, dw, db, dres
 
@@ -351,11 +375,7 @@ def _prologue_bwd(relu, tile_h, interpret, res, g):
     # the surrounding gradient math)
     u = x.astype(jnp.float32) * s[:, None, None, :] + t[:, None, None, :]
     z = jnp.maximum(u, 0.0).astype(x.dtype)
-    dw = jax.lax.conv_general_dilated(
-        z, gpre, (1, 1), [(ph, ph), (pw, pw)],
-        dimension_numbers=("CHWN", "IHWO", "HWNC"),
-        preferred_element_type=jnp.float32,
-    ).astype(w.dtype)
+    dw = _dw(z, gpre, kh, kw, ph, pw, interpret, w.dtype)
     w_rot = jnp.flip(w, axis=(0, 1)).transpose(0, 1, 3, 2)
     dz = conv2d_fused(
         gpre, w_rot, jnp.zeros((C,), gpre.dtype), None, False, tile_h,
