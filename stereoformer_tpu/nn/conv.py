@@ -11,11 +11,13 @@ The *backward* is routable: XLA autodiff emits the weight gradient as a
 CHWN-re-laid-out conv (the transposes/copies the round-2 trace flagged
 at ~26% of the flagship backward); ``ops/convgrad.py`` provides two
 reformulations — per-tap (B,H,W)-contracting matmuls ("tap") and a
-fused Pallas dw kernel ("pallas", ops/pallas/dw_conv.py).  Both were
-measured NET IN-MODEL LOSSES on v5e (see ``_auto_dw`` and
-BENCHMARKS.md "dw gradient formulation"), so "auto" resolves to XLA
-autodiff; the alternates stay opt-in via ``STEREOFORMER_DW_IMPL``
-(trace-time env) or the ``dw_impl`` field, parity-tested.
+fused Pallas dw kernel ("pallas", ops/pallas/dw_conv.py).  Measured
+verdicts (v5e, BENCHMARKS.md "dw gradient formulation"): both LOSE
+in-model at the flagship's small 1/8-res sites (call overhead), but
+the Pallas dw WINS at large low-intensity sites (RAFT's full/half-res
+C≤96 encoders: backward −8.2%), so "auto" routes by shape class — see
+``_auto_dw``; ``STEREOFORMER_DW_IMPL`` (trace-time env) and the
+``dw_impl`` field override for A/B; all paths parity-tested.
 
 Covers the argument surface the models use (stride, int/SAME padding,
 dilation 1, use_bias, kernel/bias init, compute dtype).  Reference
@@ -55,13 +57,32 @@ def _auto_dw(x_shape, kernel_hw, strides, padding) -> str:
     # (env var below), parity-tested, with the numbers in BENCHMARKS.md.
     kh, kw = kernel_hw
     ph, pw = (kh - 1) // 2, (kw - 1) // 2
-    if (
-        env == "pallas"  # opt-in only; eligible convs, any backend
-        and strides == (1, 1)
+    eligible = (
+        strides == (1, 1)
         and kh % 2 == 1 and kw % 2 == 1
         and padding == ((ph, ph), (pw, pw))
         and x_shape[-1] >= 16
         and all(isinstance(d, int) for d in x_shape)
+    )
+    if env == "pallas" and eligible:  # force for every eligible conv (A/B)
+        return "pallas"
+    # Shape-class routing (the deciding variables are TENSOR SIZE and
+    # arithmetic intensity, not module): at ≥~57k-pixel stride-1 C≤96
+    # sites (RAFT's full/half-res encoders — the same low-intensity
+    # class where the fused forward conv wins) the autodiff CHWN dw conv
+    # is HBM-bound at 21-34 TF/s and the one-read Pallas dw kernel wins
+    # (RAFT backward −8.2%, BENCHMARKS.md); at the flagship's ≤13k-pixel
+    # 1/8-res sites the custom-call overhead dominates and XLA wins
+    # (vag 30.2→39.3 ms), and its C≥128 big-pixel sites are
+    # compute-bound where the kernel only ties (isolated 0.98-0.99×).
+    # (Measured neutral on the current zoo beyond the FusedConv sites —
+    # RAFT B=2 vag 180.9 → 180.7 ms, parity — kept as the principled
+    # default for user models with large plain-Conv encoders.)
+    if (
+        eligible
+        and jax.default_backend() == "tpu"
+        and x_shape[1] * x_shape[2] >= 32768
+        and x_shape[-1] <= 96
     ):
         return "pallas"
     return "xla"
