@@ -258,6 +258,16 @@ def allpairs_corr1d_wsharded(
     stripe under XLA's latency-hiding scheduler.  Values are
     bit-parity-tested against ``ops.allpairs_corr1d``; the op is
     differentiable (ppermute transposes to the reverse permutation).
+
+    Whole-model W-sharded RAFT integration path (recorded design, not
+    yet built): the encoders need psum'd instance/group-norm statistics
+    (their spatial moments are W-global, so overlap-and-discard alone is
+    not slicing-exact for this family) and conv halos; the GRU cascade
+    needs a per-iteration ±RF-column halo ``ppermute`` of the hidden
+    states (the update block's receptive field spans scale-1/16 convs);
+    the lookup itself is w1-local on this op's full-w2 rows.  Memory win
+    is the point: the [B,H,W,W] pyramid — RAFT's dominant tensor —
+    scales as W²/n per device.
     """
     n = jax.lax.axis_size(axis_name)
     i = jax.lax.axis_index(axis_name)
