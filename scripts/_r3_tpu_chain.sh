@@ -4,6 +4,14 @@
 set -x
 cd /root/repo
 
+# 0. device trace of the final-config flagship vag (attribution of what
+#    remains after the three negative-verdict levers)
+python scripts/_vag_trace.py /tmp/vag_trace_r3 bf16 > /tmp/vag_trace.log 2>&1
+
+# 0b. bench.py pre-warm (driver budget: warm the exact graphs incl. the
+#     new RAFT rows)
+python bench.py > /tmp/bench_prewarm.json 2>/tmp/bench_prewarm.log
+
 # 1. RAFT train-step phase decomposition (verdict item 4)
 python scripts/train_phase_bench.py bf16 RAFT_Stereo > /tmp/raft_phase.log 2>&1
 
