@@ -46,7 +46,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 
-def _kernel(*refs, kh: int, kw: int, th: int, h_img: int, out_dtype):
+def _kernel(*refs, kh: int, kw: int, th: int, h_img: int):
     ph, pw = (kh - 1) // 2, (kw - 1) // 2
     x_mid = refs[0]
     prevs = refs[1 : 1 + ph]
@@ -148,8 +148,7 @@ def conv2d_dw_pallas(x, g, kernel_hw, tile_h: int = 16,
     g_spec = pl.BlockSpec((1, th, W, Co), lambda bi, i: (bi, i, 0, 0),
                           memory_space=pltpu.VMEM)
     out = pl.pallas_call(
-        functools.partial(_kernel, kh=kh, kw=kw, th=th, h_img=H,
-                          out_dtype=jnp.float32),
+        functools.partial(_kernel, kh=kh, kw=kw, th=th, h_img=H),
         out_shape=jax.ShapeDtypeStruct((kh * kw, C, Co), jnp.float32),
         grid=(B, nh),
         in_specs=[mid] + side + [g_spec],
