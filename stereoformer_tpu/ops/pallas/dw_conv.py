@@ -10,14 +10,18 @@ train_file/trainer_DLC_GRU.py:212-213).  A pure-XLA tap-matmul
 reformulation (ops/convgrad.py) removes the transposes but pays kh·kw
 materialised slices of x — measured NET LOSS in-model (30.2 → 39.7 ms).
 
-MEASURED VERDICT (v5e, BENCHMARKS.md "dw gradient formulation"): the
-kernel is bit-exact and matches XLA's dw conv *including its
-transposes* isolated (0.87–1.49× per shape) — but in-model it is a NET
-LOSS (flagship vag 30.2 → 39.3 ms): ~100 custom-call boundaries break
-XLA's surrounding fusions at ~0.1 ms fixed cost each, and the cold
-remote compile balloons 66 s → >30 min.  Kept as an opt-in
-(``STEREOFORMER_DW_IMPL=pallas``), parity-tested reference; the default
-conv backward stays on XLA autodiff (nn/conv.py:_auto_dw).
+MEASURED VERDICT (v5e, BENCHMARKS.md "dw gradient formulation") — it
+depends on the shape class, and the kernel is routed accordingly:
+- Flagship 1/8-res sites: NET LOSS in-model (vag 30.2 → 39.3 ms) —
+  ~100 custom-call boundaries break XLA's surrounding fusions at
+  ~0.1 ms fixed cost each, and the cold remote compile balloons
+  66 s → >30 min.  Opt-in only there (``STEREOFORMER_DW_IMPL=pallas``).
+- RAFT's full/half-res C≤96 encoder sites (via ``nn.FusedConv`` and the
+  size/intensity gate in nn/conv.py:_auto_dw): **WIN** — XLA's CHWN dw
+  is HBM-bound at 21-34 TF/s there; this kernel cuts the RAFT backward
+  8.2% (full step 337.6 → 325.1 ms at B=4).  Default ON at those sites.
+Bit-exact on TPU (rel_err 0 vs autodiff); parity-tested in interpret
+mode on CPU.
 
 This kernel reads x and g ONCE each in their native NHWC layout and
 accumulates all kh·kw taps in VMEM:
