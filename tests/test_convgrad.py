@@ -115,6 +115,29 @@ def test_pallas_dwgrad_matches_autodiff(k, C, Co, H, W):
                                    rtol=2e-5, atol=2e-5)
 
 
+def test_auto_dw_routing_policy(monkeypatch):
+    """Locks the measured shape-class routing: XLA autodiff everywhere by
+    default on CPU; env overrides honoured; the Pallas form only ever
+    offered to stride-1 symmetric-SAME C>=16 concrete-shape sites."""
+    from stereoformer_tpu.nn.conv import _auto_dw
+
+    p1 = ((1, 1), (1, 1))
+    # default backend here is CPU -> everything XLA
+    assert _auto_dw((4, 40, 80, 128), (3, 3), (1, 1), p1) == "xla"
+    assert _auto_dw((2, 320, 720, 64), (3, 3), (1, 1), p1) == "xla"
+    # env forces
+    monkeypatch.setenv("STEREOFORMER_DW_IMPL", "tap")
+    assert _auto_dw((4, 40, 80, 128), (3, 3), (1, 1), p1) == "tap"
+    monkeypatch.setenv("STEREOFORMER_DW_IMPL", "pallas")
+    # eligible -> pallas even off-TPU (A/B use)
+    assert _auto_dw((2, 320, 720, 64), (3, 3), (1, 1), p1) == "pallas"
+    # ineligible under forced pallas: stride 2, tiny C, asymmetric pad
+    assert _auto_dw((2, 320, 720, 64), (3, 3), (2, 2), p1) == "xla"
+    assert _auto_dw((2, 320, 720, 3), (3, 3), (1, 1), p1) == "xla"
+    assert _auto_dw((2, 320, 720, 64), (3, 3), (1, 1),
+                    ((0, 1), (1, 1))) == "xla"
+
+
 def test_conv_bf16_compute_dtype():
     rng = np.random.RandomState(2)
     x = jnp.asarray(rng.randn(2, 8, 8, 16).astype(np.float32))
