@@ -46,6 +46,14 @@ class GroupNormNHWC(nn.Module):
     use_scale: bool = True
     use_bias: bool = True
     dtype: object = None  # output dtype override (bf16 mixed precision)
+    # For spatially-sharded inference (shard_map with H or W split over a
+    # mesh axis): pmean the per-sample moments over ``axis_name`` so the
+    # statistics are GLOBAL — the norm is then elementwise given the
+    # stats, making a sharded apply bit-equal to the unsharded one with
+    # no halo (the blocker for exact W/H-sharded RAFT encoders noted in
+    # parallel/wshard.py; equal shard sizes are shard_map's invariant, so
+    # the mean-of-means is the true mean).  Parity-tested on the 8-mesh.
+    axis_name: object = None
 
     @nn.compact
     def __call__(self, x, stats_only: bool = False):
@@ -70,6 +78,9 @@ class GroupNormNHWC(nn.Module):
         s2 = jnp.einsum(
             f"n{sub}c,n{sub}c->nc", x, x,
             preferred_element_type=jnp.float32) / n_spatial
+        if self.axis_name is not None:
+            s1 = jax.lax.pmean(s1, self.axis_name)
+            s2 = jax.lax.pmean(s2, self.axis_name)
         m1 = s1.reshape(-1, G, C // G).mean(-1)              # [N, G]
         m2 = s2.reshape(-1, G, C // G).mean(-1)
         var = jnp.maximum(m2 - jnp.square(m1), 0.0)

@@ -113,6 +113,42 @@ def test_wsharded_volume_matches_unsharded_volume():
         assert np.all(v[:, :, :d, d] == 0.0)
 
 
+def test_wsharded_groupnorm_global_stats_parity():
+    """GroupNormNHWC(axis_name=...) under a W-sharded shard_map: the
+    pmean'd moments make the sharded apply match the unsharded norm —
+    the statistics blocker for exact sharded RAFT encoders (instance/
+    group norms are spatially global)."""
+    from jax.sharding import PartitionSpec as P
+    from stereoformer_tpu.nn.raft.encoders import GroupNormNHWC
+
+    rng = np.random.RandomState(11)
+    x = jnp.asarray(rng.randn(2, 6, 64, 32).astype(np.float32))
+    ref_mod = GroupNormNHWC(num_groups=8)
+    v = ref_mod.init(jax.random.PRNGKey(0), x)
+    want = ref_mod.apply(v, x)
+
+    sh_mod = GroupNormNHWC(num_groups=8, axis_name="data")
+    mesh = parallel.make_mesh()
+    spec = P(None, None, "data", None)
+    got = jax.jit(jax.shard_map(
+        lambda xx: sh_mod.apply(v, xx),
+        mesh=mesh, in_specs=(spec,), out_specs=spec,
+    ))(x)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=1e-6, atol=1e-6)
+    # instance-norm configuration (groups == channels) too
+    in_ref = GroupNormNHWC(num_groups=32)
+    vi = in_ref.init(jax.random.PRNGKey(1), x)
+    want_i = in_ref.apply(vi, x)
+    in_sh = GroupNormNHWC(num_groups=32, axis_name="data")
+    got_i = jax.jit(jax.shard_map(
+        lambda xx: in_sh.apply(vi, xx),
+        mesh=mesh, in_specs=(spec,), out_specs=spec,
+    ))(x)
+    np.testing.assert_allclose(np.asarray(got_i), np.asarray(want_i),
+                               rtol=1e-6, atol=1e-6)
+
+
 def test_wsharded_allpairs_corr1d_ring_bit_parity():
     """RAFT's all-pairs W×W correlation computed with W sharded over the
     mesh and right-feature stripes exchanged by a ring ppermute must
