@@ -56,7 +56,7 @@ class GroupNormNHWC(nn.Module):
     axis_name: object = None
 
     @nn.compact
-    def __call__(self, x, stats_only: bool = False):
+    def __call__(self, x, stats_only: bool = False, keep_masks=None):
         C = x.shape[-1]
         G = self.num_groups
         assert C % G == 0, (C, G)
@@ -67,20 +67,48 @@ class GroupNormNHWC(nn.Module):
         # 4x576x960x64 — measured 8.3 ms/norm in-model); dots are
         # layout-flexible and accumulate in f32 straight from the bf16
         # activation in its native layout.
-        n_spatial = 1
-        for d in spatial:
-            n_spatial *= x.shape[d]
-        ones = [jnp.ones((x.shape[d],), x.dtype) for d in spatial]
+        #
+        # ``keep_masks``: optional per-spatial-dim 0/1 vectors replacing
+        # the ones-vectors — under shard_map with overlap-and-discard
+        # slabs, mask the margin columns so each global pixel is counted
+        # by exactly one shard; with ``axis_name`` the pmean is then a
+        # weighted mean by kept count (exact global statistics).
+        ones = []
+        for i, d in enumerate(spatial):
+            m = None if keep_masks is None else keep_masks[i]
+            ones.append(
+                jnp.ones((x.shape[d],), x.dtype) if m is None
+                else m.astype(x.dtype)
+            )
+        n_kept = jnp.asarray(1.0, jnp.float32)
+        for v in ones:
+            n_kept = n_kept * jnp.sum(v.astype(jnp.float32))
         sub = "".join(chr(ord("h") + i) for i in range(len(spatial)))
         s1 = jnp.einsum(
             f"n{sub}c," + ",".join(sub) + "->nc", x, *ones,
-            preferred_element_type=jnp.float32) / n_spatial
-        s2 = jnp.einsum(
-            f"n{sub}c,n{sub}c->nc", x, x,
-            preferred_element_type=jnp.float32) / n_spatial
+            preferred_element_type=jnp.float32)
+        if keep_masks is None:
+            s2 = jnp.einsum(
+                f"n{sub}c,n{sub}c->nc", x, x,
+                preferred_element_type=jnp.float32)
+        else:
+            # fold the mask into one operand (x²·mask); the masked dims'
+            # mask rides the first einsum operand
+            xm = x
+            for i, d in enumerate(spatial):
+                if keep_masks[i] is not None:
+                    shape = [1] * x.ndim
+                    shape[d] = x.shape[d]
+                    xm = xm * keep_masks[i].astype(x.dtype).reshape(shape)
+            s2 = jnp.einsum(
+                f"n{sub}c,n{sub}c->nc", xm, x,
+                preferred_element_type=jnp.float32)
         if self.axis_name is not None:
-            s1 = jax.lax.pmean(s1, self.axis_name)
-            s2 = jax.lax.pmean(s2, self.axis_name)
+            s1 = jax.lax.psum(s1, self.axis_name)
+            s2 = jax.lax.psum(s2, self.axis_name)
+            n_kept = jax.lax.psum(n_kept, self.axis_name)
+        s1 = s1 / n_kept
+        s2 = s2 / n_kept
         m1 = s1.reshape(-1, G, C // G).mean(-1)              # [N, G]
         m2 = s2.reshape(-1, G, C // G).mean(-1)
         var = jnp.maximum(m2 - jnp.square(m1), 0.0)

@@ -149,6 +149,58 @@ def test_wsharded_groupnorm_global_stats_parity():
                                rtol=1e-6, atol=1e-6)
 
 
+def test_groupnorm_keep_masks_and_overlap_shard_exactness():
+    """The masked-moment form: (a) single-device, stats from kept columns
+    only must equal the norm computed on the kept slice; (b) under
+    overlap-and-discard W-slabs, per-shard masks + psum'd moments must
+    reproduce the unsharded global norm exactly on every kept column —
+    the exactness requirement recorded in parallel/wshard.py."""
+    from functools import partial
+
+    from jax.sharding import PartitionSpec as P
+    from stereoformer_tpu.nn.raft.encoders import GroupNormNHWC
+
+    rng = np.random.RandomState(12)
+
+    # (a) single-device masked stats
+    x = jnp.asarray(rng.randn(2, 6, 20, 16).astype(np.float32))
+    mod = GroupNormNHWC(num_groups=4)
+    v = mod.init(jax.random.PRNGKey(0), x)
+    wmask = jnp.asarray((np.arange(20) >= 3) & (np.arange(20) < 17))
+    got = mod.apply(v, x, keep_masks=(None, wmask))
+    want = mod.apply(v, x[:, :, 3:17])
+    np.testing.assert_allclose(np.asarray(got[:, :, 3:17]),
+                               np.asarray(want), rtol=1e-5, atol=1e-5)
+
+    # (b) overlap-and-discard W-shards with masked + psum'd moments
+    B, H, W, C = 2, 4, 64, 16
+    x = jnp.asarray(rng.randn(B, H, W, C).astype(np.float32))
+    mesh = parallel.make_mesh()
+    n = mesh.shape["data"]
+    Ws, margin = W // n, 8
+    width = Ws + 2 * margin
+    sh_mod = GroupNormNHWC(num_groups=4, axis_name="data")
+    v = GroupNormNHWC(num_groups=4).init(jax.random.PRNGKey(1), x)
+    want = GroupNormNHWC(num_groups=4).apply(v, x)
+
+    def shard(xx):
+        i = jax.lax.axis_index("data")
+        start = jnp.clip(i * Ws - margin, 0, W - width)
+        xs = jax.lax.dynamic_slice_in_dim(xx, start, width, axis=2)
+        col = start + jnp.arange(width)
+        keep = (col >= i * Ws) & (col < (i + 1) * Ws)
+        y = sh_mod.apply(v, xs, keep_masks=(None, keep))
+        off = i * Ws - start
+        return jax.lax.dynamic_slice_in_dim(y, off, Ws, axis=2)
+
+    got = jax.jit(jax.shard_map(
+        shard, mesh=mesh, in_specs=(P(),),
+        out_specs=P(None, None, "data", None),
+    ))(x)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=1e-5, atol=1e-5)
+
+
 def test_wsharded_allpairs_corr1d_ring_bit_parity():
     """RAFT's all-pairs W×W correlation computed with W sharded over the
     mesh and right-feature stripes exchanged by a ring ppermute must
