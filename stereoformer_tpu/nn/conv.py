@@ -20,9 +20,19 @@ C≤96 encoders: backward −8.2%), so "auto" routes by shape class — see
 ``dw_impl`` field override for A/B; all paths parity-tested.
 
 Covers the argument surface the models use (stride, int/SAME padding,
-dilation 1, use_bias, kernel/bias init, compute dtype).  Reference
-counterpart: every ``nn.Conv2d`` inside the trainers' backward
-(``train_file/trainer_DLC_GRU.py:212-213``).
+dilation 1, use_bias, kernel/bias init, compute dtype).  NOT supported
+vs ``flax.linen.Conv`` (asserted/erroring rather than silent): inputs
+must be 4-D NHWC (no extra leading batch dims), no
+``feature_group_count``, no ``kernel_dilation``, ``kernel_size`` must be
+a (kh, kw) pair.  Reference counterpart: every ``nn.Conv2d`` inside the
+trainers' backward (``train_file/trainer_DLC_GRU.py:212-213``).
+
+Autodiff caveat: the "tap"/"pallas" dw routes are ``jax.custom_vjp``, so
+forward-mode (``jax.jvp``/``jacfwd``) and higher-order autodiff through a
+routed site raise where plain autodiff works; routing is shape- and
+backend-dependent (TPU only), so the error appears only there.
+``dw_impl="xla"`` (or ``STEREOFORMER_DW_IMPL=xla``) restores full
+differentiability — the forward is identical.
 """
 
 from __future__ import annotations
@@ -64,7 +74,10 @@ def _auto_dw(x_shape, kernel_hw, strides, padding) -> str:
         and x_shape[-1] >= 16
         and all(isinstance(d, int) for d in x_shape)
     )
-    if env == "pallas" and eligible:  # force for every eligible conv (A/B)
+    # forced-pallas A/B is still gated on the TPU backend: the dw kernel's
+    # backward runs interpret=False, so on CPU/GPU the forward would work
+    # and the failure would surface only at grad time
+    if env == "pallas" and eligible and jax.default_backend() == "tpu":
         return "pallas"
     # Shape-class routing (the deciding variables are TENSOR SIZE and
     # arithmetic intensity, not module): at ≥~57k-pixel stride-1 C≤96
@@ -101,6 +114,10 @@ class Conv(nn.Module):
 
     @nn.compact
     def __call__(self, x):
+        assert x.ndim == 4, (
+            f"nn.Conv expects 4-D NHWC input, got shape {x.shape}; extra "
+            f"leading batch dims (a flax.linen.Conv feature) are unsupported"
+        )
         kh, kw = self.kernel_size
         C = x.shape[-1]
         kernel = self.param(

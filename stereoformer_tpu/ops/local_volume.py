@@ -146,13 +146,13 @@ def local_soft_argmin(
     ``impl``: "pallas" forces the fused Pallas kernel pair (forward AND
     hand-written backward, ops/pallas/local_refine.py).  Measured v5e:
     9× the XLA path isolated, but inside the jitted model XLA fuses the
-    *forward* with its producers/consumers and wins at eval, so "auto"
-    means XLA; the training path (where the backward's elementwise tail
-    is ~23% of the step's backward) is routed explicitly by the caller
-    (GRUUpdate passes impl per measurement — see BENCHMARKS.md).
-    ``STEREOFORMER_LOCAL_REFINE=pallas|xla`` (trace-time env) overrides
-    "auto" for A/B measurement.  Values and gradients are identical
-    (parity-tested, incl. subgradient tie choices).
+    forward with its producers/consumers and wins at eval AND in the
+    train step (BENCHMARKS.md "local-refine backward" — in-model the
+    kernel pair was a net loss), so "auto" means XLA everywhere and no
+    model caller passes ``impl``; the Pallas pair stays env-opt-in via
+    ``STEREOFORMER_LOCAL_REFINE=pallas|xla`` (trace-time, TPU only) for
+    A/B measurement.  Values and gradients are identical (parity-tested,
+    incl. subgradient tie choices).
     """
     if impl == "auto":
         import os

@@ -112,18 +112,41 @@ def save_checkpoint(
     return path
 
 
-def restore_checkpoint(path: str, target: TrainState) -> TrainState:
+def restore_checkpoint(
+    path: str, target: TrainState, shardings=None
+) -> TrainState:
     """Restore into the shape/dtype structure of ``target``.
+
+    ``shardings``: optional pytree of ``jax.sharding.Sharding`` matching
+    ``target`` (e.g. ``parallel.fsdp_shardings(state, mesh)``).  When
+    given, orbax restores each leaf DIRECTLY into its ``NamedSharding``
+    — every device materialises only its 1/n shard — instead of loading
+    the full array replicated and re-sharding afterwards.  For an FSDP
+    resume (~4×-params amsgrad state) that kills both the per-host
+    restore memory spike and orbax's "Sharding info not provided …
+    unsafe when restoring on a different topology" warning.  Reference
+    analogue: checkpoint load, utils/utils.py:73-100 (which has no
+    sharding concept — DataParallel state is always replicated).
 
     Pre-round-2 checkpoints (unfused GRU gate convs) fail the structure
     match; they are raw-restored and migrated — params, batch_stats AND
     amsgrad moments — via ``migrate_gate_fusion``, so ``--pretrain`` /
     ``--resume`` from an old checkpoint continues training losslessly
-    instead of silently starting fresh."""
+    instead of silently starting fresh (the migration path restores on
+    host, then places to ``shardings`` if given)."""
     import jax
 
     cp = _checkpointer()
     try:
+        if shardings is not None:
+            import orbax.checkpoint as ocp
+
+            restore_args = ocp.checkpoint_utils.construct_restore_args(
+                target, shardings
+            )
+            return cp.restore(
+                os.path.abspath(path), item=target, restore_args=restore_args
+            )
         return cp.restore(os.path.abspath(path), item=target)
     except Exception:
         pass  # structure mismatch — try the legacy-layout migration
@@ -150,12 +173,15 @@ def restore_checkpoint(path: str, target: TrainState) -> TrainState:
                 f"{next((i for i, (a, b) in enumerate(zip(shapes, tshapes)) if a != b), 'count')})"
             )
         out[field] = jax.tree_util.tree_unflatten(tdef, leaves)
-    return TrainState(
+    state = TrainState(
         step=jnp_asarray_like(raw["step"], target.step),
         params=out["params"],
         batch_stats=out["batch_stats"],
         opt_state=out["opt_state"],
     )
+    if shardings is not None:
+        state = jax.tree_util.tree_map(jax.device_put, state, shardings)
+    return state
 
 
 def jnp_asarray_like(x, like):

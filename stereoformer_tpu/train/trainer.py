@@ -234,12 +234,13 @@ class DisparityTrainer:
         self.eval_step = make_eval_step(self.net, iters=self.eval_iters)
         if self.pretrain and self.pretrain != "none":
             try:
-                self.state = restore_checkpoint(self.pretrain, self.state)
-                if self.state_shardings is not None:
-                    # restore materialises host arrays; re-pin the FSDP layout
-                    self.state = jax.tree_util.tree_map(
-                        jax.device_put, self.state, self.state_shardings
-                    )
+                # sharding-aware: with FSDP shardings orbax restores each
+                # leaf straight into its NamedSharding (no replicated
+                # restore spike, no re-pin pass)
+                self.state = restore_checkpoint(
+                    self.pretrain, self.state,
+                    shardings=self.state_shardings,
+                )
                 self.is_pretrain = True
                 logger.info("Loaded pretrain checkpoint: %s", self.pretrain)
             except Exception as e:

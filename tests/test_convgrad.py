@@ -129,8 +129,10 @@ def test_auto_dw_routing_policy(monkeypatch):
     monkeypatch.setenv("STEREOFORMER_DW_IMPL", "tap")
     assert _auto_dw((4, 40, 80, 128), (3, 3), (1, 1), p1) == "tap"
     monkeypatch.setenv("STEREOFORMER_DW_IMPL", "pallas")
-    # eligible -> pallas even off-TPU (A/B use)
-    assert _auto_dw((2, 320, 720, 64), (3, 3), (1, 1), p1) == "pallas"
+    # forced pallas is TPU-gated (the kernel's backward runs
+    # interpret=False; off-TPU it would crash at grad time) — on this
+    # CPU backend even an eligible site stays XLA
+    assert _auto_dw((2, 320, 720, 64), (3, 3), (1, 1), p1) == "xla"
     # ineligible under forced pallas: stride 2, tiny C, asymmetric pad
     assert _auto_dw((2, 320, 720, 64), (3, 3), (2, 2), p1) == "xla"
     assert _auto_dw((2, 320, 720, 3), (3, 3), (1, 1), p1) == "xla"

@@ -429,3 +429,67 @@ def test_fsdp_train_parity_and_sharding():
         np.testing.assert_allclose(
             np.asarray(a), np.asarray(b), rtol=0, atol=7e-3
         )
+
+
+def test_fsdp_sharded_checkpoint_restore(tmp_path):
+    """Sharding-aware restore (round-4 verdict item 6): save an
+    FSDP-sharded TrainState, restore with ``shardings=``, and assert
+    (a) every leaf comes back placed in its NamedSharding — each device
+    holds only its 1/n shard, no replicated-restore memory spike — and
+    (b) a train step from the restored state reproduces the loss of a
+    step from the live state.  Reference analogue: checkpoint load,
+    utils/utils.py:73-100."""
+    import optax
+
+    from stereoformer_tpu.models import LowCNN
+    from stereoformer_tpu.train import (
+        TrainState, make_train_step, finalize_checkpoints,
+        save_checkpoint, restore_checkpoint,
+    )
+    from tests.test_train import _dummy_batch, _tiny_setup
+
+    assert len(jax.devices()) == 8
+    mesh = parallel.make_mesh()
+
+    _, state, _ = _tiny_setup(B=8)
+    batch = parallel.shard_batch(
+        {k: np.asarray(v) for k, v in _dummy_batch(B=8).items()}, mesh
+    )
+    fsdp_state, shardings = parallel.shard_state_fsdp(state, mesh)
+
+    model = LowCNN(refinement="fixed")
+    tx = optax.amsgrad(1e-3)
+    step = make_train_step(
+        model, tx, "single", iters=2, state_out_shardings=shardings
+    )
+    # one real step so the saved state is nontrivial, then keep a copy
+    # (the donating step consumes its input buffers)
+    fsdp_state, _ = step(fsdp_state, batch)
+    live = jax.tree_util.tree_map(jnp.copy, fsdp_state)
+
+    p = save_checkpoint(
+        str(tmp_path), fsdp_state, "LowCNN", 0, 0, 9.999, False,
+        use_async=False,
+    )
+    finalize_checkpoints()
+
+    target = jax.tree_util.tree_map(jnp.zeros_like, live)
+    back = restore_checkpoint(p, target, shardings=shardings)
+
+    # (a) every leaf restored straight into its sharding
+    for x, s in zip(
+        jax.tree_util.tree_leaves(back), jax.tree_util.tree_leaves(shardings)
+    ):
+        assert x.sharding.is_equivalent_to(s, x.ndim), (x.sharding, s)
+        if not s.is_fully_replicated:
+            assert x.addressable_shards[0].data.size == x.size // 8
+    # values identical
+    for a, b in zip(
+        jax.tree_util.tree_leaves(live), jax.tree_util.tree_leaves(back)
+    ):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=0)
+
+    # (b) step-loss parity: restored state behaves exactly like the live one
+    live2, m_live = step(live, batch)
+    back2, m_back = step(back, batch)
+    assert float(m_live["loss"]) == float(m_back["loss"])

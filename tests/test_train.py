@@ -143,6 +143,80 @@ def test_spmd_mesh_train_step():
     assert bool(jnp.isfinite(leaf).all())
 
 
+def _spmd_loss_parity(model, loss_name, batch, init_train=True, rtol=1e-4):
+    """One train step single-device vs batch-row-sharded on the 8-mesh:
+    losses must agree (the mesh analogue of wrapping every trainer in
+    DataParallel, trainer_DLC_GRU.py:102-106)."""
+    assert len(jax.devices()) == 8
+    mesh = parallel.make_mesh()
+    variables = jax.jit(
+        lambda l, r: model.init(
+            jax.random.PRNGKey(0), l, r, iters=1, train=init_train
+        )
+    )(batch["img_left"][:1], batch["img_right"][:1])
+    tx = optax.amsgrad(1e-4)
+    state = TrainState(
+        step=jnp.asarray(0, jnp.int32),
+        params=variables["params"],
+        batch_stats=variables.get("batch_stats", {}),
+        opt_state=tx.init(variables["params"]),
+    )
+    step = make_train_step(model, tx, loss_name, iters=2)
+    sharded_state = jax.tree_util.tree_map(
+        lambda x: jax.device_put(jnp.copy(x), parallel.replicated(mesh)), state
+    )
+    _, m1 = step(state, batch)
+    sharded_batch = parallel.shard_batch(
+        {k: np.asarray(v) for k, v in batch.items()}, mesh
+    )
+    state2, m2 = step(sharded_state, sharded_batch)
+    assert np.isfinite(float(m1["loss"]))
+    np.testing.assert_allclose(float(m1["loss"]), float(m2["loss"]), rtol=rtol)
+    leaf = jax.tree_util.tree_leaves(state2.params)[0]
+    assert bool(jnp.isfinite(leaf).all())
+
+
+def test_spmd_mesh_train_step_raft():
+    """Family B under the data mesh (round-4 verdict item 4): the
+    BatchNorm context net's batch statistics are computed GLOBALLY by XLA
+    under the sharded batch (README deviation #4), and the instance-norm
+    feature net is per-sample — so the row-sharded loss must equal the
+    single-device loss."""
+    from stereoformer_tpu.models import RAFTStereo
+
+    rng = np.random.RandomState(3)
+    B, H, W = 8, 32, 64
+    batch = {
+        "img_left": jnp.asarray(
+            rng.uniform(0, 255, (B, H, W, 3)).astype(np.float32)),
+        "img_right": jnp.asarray(
+            rng.uniform(0, 255, (B, H, W, 3)).astype(np.float32)),
+        "gt_disp": jnp.asarray(
+            rng.uniform(0, 48, (B, H, W, 1)).astype(np.float32)),
+    }
+    # bf16-free tiny config so CPU-mesh numerics are tight
+    model = RAFTStereo(hidden_dims=(16, 16, 16))
+    _spmd_loss_parity(model, "sequence", batch)
+
+
+def test_spmd_mesh_train_step_cross_attention():
+    """Family C under the data mesh (round-4 verdict item 4)."""
+    from stereoformer_tpu.models import CrossAttentionStereo
+
+    rng = np.random.RandomState(4)
+    B, H, W = 8, 32, 64
+    batch = {
+        "img_left": jnp.asarray(
+            rng.randn(B, H, W, 3).astype(np.float32)),
+        "img_right": jnp.asarray(
+            rng.randn(B, H, W, 3).astype(np.float32)),
+        "gt_disp": jnp.asarray(
+            rng.uniform(0, 48, (B, H, W, 1)).astype(np.float32)),
+    }
+    model = CrossAttentionStereo(num_heads=4, qk_dim=32, gru_hidden=16)
+    _spmd_loss_parity(model, "sequence", batch)
+
+
 def test_step_schedule():
     sched = make_step_schedule(1e-3, steps_per_epoch=10)
     np.testing.assert_allclose(float(sched(0)), 1e-3, rtol=1e-6)
