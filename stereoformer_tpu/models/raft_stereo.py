@@ -13,6 +13,13 @@ images; this mirrors the reference's split behaviour.
 
 The iteration loop is statically unrolled under jit; ``test_mode`` only
 upsamples the final iteration (raft_stereo.py:182-183).
+
+Structured as setup-style stages (``encode`` → ``context_gates`` →
+``update``) so the W-sharded driver (parallel/raft_wshard.py) can apply
+each stage on its own slab/window geometry via ``apply(method=...)``;
+``__call__`` composes the same stages, so the parameter tree is identical
+to the original single-method form (names cnet / fnet / context_zqr{i} /
+update_block).
 """
 
 from __future__ import annotations
@@ -46,7 +53,69 @@ class RAFTStereo(nn.Module):
     # stay f32 (repo mixed-precision convention).
     dtype: object = None
 
-    @nn.compact
+    def setup(self):
+        self.cnet = MultiBasicEncoder(
+            output_dims=(tuple(self.hidden_dims), tuple(self.hidden_dims)),
+            norm="batch", downsample=self.downsample,
+            num_layers=self.n_gru_layers, dtype=self.dtype,
+        )
+        self.fnet = BasicEncoder(
+            output_dim=256, norm="instance", downsample=self.downsample,
+            dtype=self.dtype,
+        )
+        # per-scale context gate bias convs (raft_stereo.py:148); attribute
+        # names carry the parameter-tree names
+        for i in range(self.n_gru_layers):
+            setattr(self, f"context_zqr{i}", Conv(
+                self.hidden_dims[i] * 3, (3, 3), padding=1, dtype=self.dtype,
+                kernel_init=he_out(),
+            ))
+        self.update_block = MultiUpdateBlock(
+            hidden_dims=tuple(self.hidden_dims),
+            corr_levels=self.corr_levels,
+            corr_radius=self.corr_radius,
+            n_gru_layers=self.n_gru_layers,
+            n_downsample=self.downsample,
+            dtype=self.dtype,
+        )
+
+    def _normalize(self, left, right):
+        if self.input_norm == "imagenet":
+            mean = jnp.asarray([0.485, 0.456, 0.406])
+            std = jnp.asarray([0.229, 0.224, 0.225])
+            return (2.0 * (left * std + mean) - 1.0,
+                    2.0 * (right * std + mean) - 1.0)
+        return 2.0 * (left / 255.0) - 1.0, 2.0 * (right / 255.0) - 1.0
+
+    def encode(self, left, right, train: bool = True, wshard=None):
+        """Context + feature encoders on raw images.
+
+        Returns (cnet_list, fmap1, fmap2).  ``wshard`` (a
+        ``nn.raft.encoders.WShardCtx``) makes the sample-local norm
+        statistics global-exact under W-sharded slabs."""
+        left, right = self._normalize(left, right)
+        cnet_list = self.cnet(left, train=train, wshard=wshard)
+        # batch-concat trick (extractor.py:176-197): one pass, then split
+        fmaps = self.fnet(jnp.concatenate([left, right], axis=0),
+                          train=train, wshard=wshard)
+        fmap1, fmap2 = jnp.split(fmaps, 2, axis=0)
+        return cnet_list, fmap1, fmap2
+
+    def context_gates(self, inp):
+        """Per-scale (cz, cr, cq) GRU gate biases from the relu'd context
+        features (raft_stereo.py:148)."""
+        out = []
+        for i, c in enumerate(inp):
+            z = getattr(self, f"context_zqr{i}")(c)
+            out.append(tuple(jnp.split(z, 3, axis=-1)))
+        return out
+
+    def update(self, net, ctx, corr_feat, flow, need_mask: bool = True,
+               interp_fn=None):
+        """One GRU-cascade step (see nn/raft/update.MultiUpdateBlock)."""
+        return self.update_block(net, ctx, corr_feat, flow,
+                                 need_mask=need_mask, interp_fn=interp_fn)
+
     def __call__(
         self,
         left: jnp.ndarray,
@@ -56,40 +125,11 @@ class RAFTStereo(nn.Module):
         test_mode: bool = False,
         train: bool = True,
     ):
-        if self.input_norm == "imagenet":
-            mean = jnp.asarray([0.485, 0.456, 0.406])
-            std = jnp.asarray([0.229, 0.224, 0.225])
-            left = 2.0 * (left * std + mean) - 1.0
-            right = 2.0 * (right * std + mean) - 1.0
-        else:
-            left = 2.0 * (left / 255.0) - 1.0
-            right = 2.0 * (right / 255.0) - 1.0
-
-        cnet = MultiBasicEncoder(
-            output_dims=(tuple(self.hidden_dims), tuple(self.hidden_dims)),
-            norm="batch", downsample=self.downsample,
-            num_layers=self.n_gru_layers, dtype=self.dtype, name="cnet",
-        )
-        fnet = BasicEncoder(
-            output_dim=256, norm="instance", downsample=self.downsample,
-            dtype=self.dtype, name="fnet",
-        )
-
-        cnet_list = cnet(left, train=train)
-        # batch-concat trick (extractor.py:176-197): one pass, then split
-        fmaps = fnet(jnp.concatenate([left, right], axis=0), train=train)
-        fmap1, fmap2 = jnp.split(fmaps, 2, axis=0)
+        cnet_list, fmap1, fmap2 = self.encode(left, right, train=train)
 
         net = [jnp.tanh(h) for h, _ in cnet_list]
         inp = [nn.relu(c) for _, c in cnet_list]
-        # per-scale context gate biases (raft_stereo.py:148)
-        ctx = []
-        for i, c in enumerate(inp):
-            z = Conv(
-                self.hidden_dims[i] * 3, (3, 3), padding=1, dtype=self.dtype,
-                kernel_init=he_out(), name=f"context_zqr{i}",
-            )(c)
-            ctx.append(tuple(jnp.split(z, 3, axis=-1)))
+        ctx = self.context_gates(inp)
 
         corr = ops.allpairs_corr1d(fmap1, fmap2)          # [B,H,W,W2]
         if self.dtype is not None:
@@ -98,16 +138,6 @@ class RAFTStereo(nn.Module):
             # lookup is HBM-bandwidth-bound on the [B,H,W,W2] volume.
             corr = corr.astype(self.dtype)
         pyramid = ops.corr_pyramid(corr, self.corr_levels)
-
-        update = MultiUpdateBlock(
-            hidden_dims=tuple(self.hidden_dims),
-            corr_levels=self.corr_levels,
-            corr_radius=self.corr_radius,
-            n_gru_layers=self.n_gru_layers,
-            n_downsample=self.downsample,
-            dtype=self.dtype,
-            name="update_block",
-        )
 
         B, H4, W4, _ = net[0].shape
         coords0 = jnp.broadcast_to(
@@ -127,7 +157,7 @@ class RAFTStereo(nn.Module):
             flow = jnp.concatenate(
                 [(coords1 - coords0)[..., None], flow_y], axis=-1
             )
-            net, mask, delta = update(
+            net, mask, delta = self.update(
                 net, ctx, corr_feat, flow,
                 need_mask=not test_mode or itr == iters - 1,
             )

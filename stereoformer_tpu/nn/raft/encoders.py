@@ -24,6 +24,36 @@ from ..blocks import FusedConv
 he_out = lambda: nn.initializers.variance_scaling(2.0, "fan_out", "truncated_normal")
 
 
+class WShardCtx:
+    """Per-call context for exact W-sharded encoder evaluation
+    (parallel/raft_wshard.py).
+
+    Carries what the sample-local norms need to compute GLOBAL moments
+    under overlap-and-discard slabs: the mesh axis to ``psum`` over, the
+    slab-local offset of the first KEPT column (traced — edge slabs are
+    clip-shifted), the kept width, and the slab width, all at INPUT
+    resolution.  ``mask(w)`` scales the kept interval to any activation
+    width ``w`` (the encoders only ever change W by power-of-two strides,
+    so ``width // w`` is the cumulative stride).  Margin columns are
+    masked out of the moments so each global pixel is counted by exactly
+    one shard; the psum'd moments are then the true global statistics
+    and the norm's elementwise apply is exact on every slab column whose
+    receptive field the margin covers."""
+
+    def __init__(self, axis_name: str, off, keep: int, width: int):
+        self.axis_name = axis_name
+        self.off = off          # traced int32, multiple of the total stride
+        self.keep = keep        # static
+        self.width = width      # static
+
+    def mask(self, w: int):
+        f = self.width // w
+        assert f * w == self.width, (self.width, w)
+        ar = jnp.arange(w)
+        lo = self.off // f
+        return ((ar >= lo) & (ar < lo + self.keep // f)).astype(jnp.float32)
+
+
 class GroupNormNHWC(nn.Module):
     """Group/instance norm that never reshapes the activation to 5-D.
 
@@ -181,13 +211,25 @@ class _Norm(nn.Module):
     dtype: object = None
 
     @nn.compact
-    def __call__(self, x, train: bool = True, stats_only: bool = False):
+    def __call__(self, x, train: bool = True, stats_only: bool = False,
+                 wshard: WShardCtx | None = None):
+        # wshard: W-sharded eval — the sample-local norms (group/instance)
+        # psum margin-masked moments over the mesh axis so their
+        # statistics are global-exact; eval BatchNorm is already a fixed
+        # per-channel affine (elementwise), train BatchNorm under wshard
+        # is unsupported (batch stats would need the same masked psum).
+        axis = wshard.axis_name if wshard is not None else None
+        masks = (None, wshard.mask(x.shape[2])) if wshard is not None else None
         if self.kind == "group":
             return GroupNormNHWC(
                 num_groups=self.features // 8, dtype=self.dtype,
-                name="GroupNorm_0",
-            )(x, stats_only=stats_only)
+                axis_name=axis, name="GroupNorm_0",
+            )(x, stats_only=stats_only, keep_masks=masks)
         if self.kind == "batch":
+            assert wshard is None or not train, (
+                "train-mode BatchNorm under W-sharding is unsupported "
+                "(eval running stats are elementwise and exact)"
+            )
             if stats_only:
                 if train:
                     return None  # train-mode batch stats stay unfused
@@ -202,8 +244,9 @@ class _Norm(nn.Module):
                 use_bias=False,
                 use_scale=False,
                 dtype=self.dtype,
+                axis_name=axis,
                 name="GroupNorm_0",
-            )(x, stats_only=stats_only)
+            )(x, stats_only=stats_only, keep_masks=masks)
         if stats_only:
             return None
         return x
@@ -216,7 +259,8 @@ class RaftResidualBlock(nn.Module):
     dtype: object = None
 
     @nn.compact
-    def __call__(self, x, train: bool = True):
+    def __call__(self, x, train: bool = True,
+                 wshard: WShardCtx | None = None):
         dt = self.dtype
         # stride-1 3x3 convs route to the fused Pallas kernel on TPU
         # (FusedConv keeps nn.Conv's param tree; explicit names preserve
@@ -235,19 +279,19 @@ class RaftResidualBlock(nn.Module):
         # (batch-stats computation + running-average updates stay on
         # the unfused path).
         norm1 = _Norm(self.norm, self.features, dt)
-        st = norm1(y, train, stats_only=True)
+        st = norm1(y, train, stats_only=True, wshard=wshard)
         conv2 = FusedConv(self.features, 3, kernel_init=he_out(), dtype=dt,
                           name="Conv_1")
         if st is not None:
             y = conv2(y, prologue=st)
         else:
-            y = conv2(nn.relu(norm1(y, train)))
-        y = _Norm(self.norm, self.features, dt)(y, train)
+            y = conv2(nn.relu(norm1(y, train, wshard=wshard)))
+        y = _Norm(self.norm, self.features, dt)(y, train, wshard=wshard)
         y = nn.relu(y)
         if self.stride != 1 or x.shape[-1] != self.features:
             x = Conv(self.features, (1, 1), strides=self.stride,
                         kernel_init=he_out(), dtype=dt, name="downsample")(x)
-            x = _Norm(self.norm, self.features, dt)(x, train)
+            x = _Norm(self.norm, self.features, dt)(x, train, wshard=wshard)
         return nn.relu(x + y)
 
 
@@ -286,19 +330,20 @@ class BasicEncoder(nn.Module):
     dtype: object = None
 
     @nn.compact
-    def __call__(self, x, train: bool = True):
+    def __call__(self, x, train: bool = True,
+                 wshard: WShardCtx | None = None):
         d = self.downsample
         dt = self.dtype
         x = Conv(64, (7, 7), strides=1 + (d > 2), padding=3,
                     kernel_init=he_out(), dtype=dt)(x)
-        x = nn.relu(_Norm(self.norm, 64, dt)(x, train))
+        x = nn.relu(_Norm(self.norm, 64, dt)(x, train, wshard=wshard))
         for i, (dim, stride) in enumerate(
             [(64, 1), (96, 1 + (d > 1)), (128, 1 + (d > 0))]
         ):
             x = RaftResidualBlock(dim, self.norm, stride, dtype=dt,
-                                  name=f"layer{i+1}a")(x, train)
+                                  name=f"layer{i+1}a")(x, train, wshard)
             x = RaftResidualBlock(dim, self.norm, 1, dtype=dt,
-                                  name=f"layer{i+1}b")(x, train)
+                                  name=f"layer{i+1}b")(x, train, wshard)
         return Conv(self.output_dim, (1, 1), kernel_init=he_out(),
                        dtype=dt)(x)
 
@@ -317,27 +362,28 @@ class MultiBasicEncoder(nn.Module):
     dtype: object = None
 
     @nn.compact
-    def __call__(self, x, train: bool = True):
+    def __call__(self, x, train: bool = True,
+                 wshard: WShardCtx | None = None):
         d = self.downsample
         dt = self.dtype
         x = Conv(64, (7, 7), strides=1 + (d > 2), padding=3,
                     kernel_init=he_out(), dtype=dt)(x)
-        x = nn.relu(_Norm(self.norm, 64, dt)(x, train))
+        x = nn.relu(_Norm(self.norm, 64, dt)(x, train, wshard=wshard))
         for i, (dim, stride) in enumerate(
             [(64, 1), (96, 1 + (d > 1)), (128, 1 + (d > 0))]
         ):
             x = RaftResidualBlock(dim, self.norm, stride, dtype=dt,
-                                  name=f"layer{i+1}a")(x, train)
+                                  name=f"layer{i+1}a")(x, train, wshard)
             x = RaftResidualBlock(dim, self.norm, 1, dtype=dt,
-                                  name=f"layer{i+1}b")(x, train)
+                                  name=f"layer{i+1}b")(x, train, wshard)
 
         outputs = []
         feats = [x]
         for lvl in range(1, self.num_layers):
             y = RaftResidualBlock(128, self.norm, 2, dtype=dt,
-                                  name=f"down{lvl}a")(feats[-1], train)
+                                  name=f"down{lvl}a")(feats[-1], train, wshard)
             y = RaftResidualBlock(128, self.norm, 1, dtype=dt,
-                                  name=f"down{lvl}b")(y, train)
+                                  name=f"down{lvl}b")(y, train, wshard)
             feats.append(y)
         for lvl, f in enumerate(feats):
             pair = []
@@ -346,7 +392,7 @@ class MultiBasicEncoder(nn.Module):
                 if lvl < 2:  # finest two scales get an extra ResBlock head
                     h = RaftResidualBlock(
                         128, self.norm, 1, dtype=dt, name=f"out{lvl}_{head}_res"
-                    )(h, train)
+                    )(h, train, wshard)
                 h = FusedConv(dims[lvl], 3, kernel_init=he_out(), dtype=dt,
                               name=f"out{lvl}_{head}_conv")(h)
                 pair.append(h)

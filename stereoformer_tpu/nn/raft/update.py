@@ -119,7 +119,15 @@ class MultiUpdateBlock(nn.Module):
     @nn.compact
     def __call__(self, net, inp, corr=None, flow=None,
                  iter08=True, iter16=True, iter32=True, update=True,
-                 need_mask=True):
+                 need_mask=True, interp_fn=None):
+        # interp_fn: optional override of the cross-scale align-corners
+        # upsample.  Under W-sharded eval (parallel/raft_wshard.py) the
+        # block runs on halo-extended W-windows, where align_corners'
+        # corner-to-corner mapping must be computed in GLOBAL column
+        # coordinates — the sharded driver passes a closure that does so;
+        # default is the reference mapping (update.py:126-128).
+        if interp_fn is None:
+            interp_fn = interp_to
         net = list(net)
         hd = self.hidden_dims
         if iter32 and self.n_gru_layers == 3:
@@ -129,7 +137,7 @@ class MultiUpdateBlock(nn.Module):
         if iter16 and self.n_gru_layers >= 2:
             if self.n_gru_layers > 2:
                 net[1] = ContextConvGRU(hd[1], dtype=self.dtype, name="gru16")(
-                    net[1], inp[1], pool2x(net[0]), interp_to(net[2], net[1])
+                    net[1], inp[1], pool2x(net[0]), interp_fn(net[2], net[1])
                 )
             else:
                 net[1] = ContextConvGRU(hd[1], dtype=self.dtype, name="gru16")(
@@ -142,7 +150,7 @@ class MultiUpdateBlock(nn.Module):
             )(flow, corr)
             if self.n_gru_layers > 1:
                 net[0] = ContextConvGRU(hd[2], dtype=self.dtype, name="gru08")(
-                    net[0], inp[0], motion, interp_to(net[1], net[0])
+                    net[0], inp[0], motion, interp_fn(net[1], net[0])
                 )
             else:
                 net[0] = ContextConvGRU(hd[2], dtype=self.dtype, name="gru08")(

@@ -87,6 +87,9 @@ from .wshard import (  # noqa: E402  (W-sharded pipeline, see wshard.py)
     correlation_volume_wsharded,
     make_wsharded_initial_disparity,
 )
+from .raft_wshard import (  # noqa: E402  (whole-model W-sharded RAFT)
+    make_wsharded_raft_eval,
+)
 from .fsdp import (  # noqa: E402  (ZeRO-style sharded state, see fsdp.py)
     fsdp_shardings,
     fsdp_spec,

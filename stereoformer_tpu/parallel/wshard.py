@@ -263,22 +263,16 @@ def allpairs_corr1d_wsharded(
     bit-parity-tested against ``ops.allpairs_corr1d``; the op is
     differentiable (ppermute transposes to the reverse permutation).
 
-    Whole-model W-sharded RAFT integration path (recorded design; the
-    statistics half is built): the encoders need GLOBAL instance/
-    group-norm statistics — ``nn/raft/encoders.py:GroupNormNHWC`` now
-    takes ``axis_name`` and pmeans its moment tensors (parity-tested on
-    the 8-mesh, ``test_wsharded_groupnorm_global_stats_parity``).  Under
-    overlap-and-discard the moments must additionally MASK the margin
-    columns before the pmean (an overlap column would be counted by two
-    shards; the moment einsums take a 0/1 keep-vector in place of the
-    ones-vector, dividing by the global kept count) — with that, kept
-    AND margin columns normalise with the exact global stats, so the
-    usual margin-covers-RF condition is again sufficient.  The GRU
-    cascade then needs a per-iteration ±RF-column halo ``ppermute`` of
-    the hidden states (the update block's receptive field spans
-    scale-1/16 convs); the lookup itself is w1-local on this op's
-    full-w2 rows.  Memory win is the point: the [B,H,W,W] pyramid —
-    RAFT's dominant tensor — scales as W²/n per device.
+    This op is the correlation stage of the WHOLE-MODEL W-sharded RAFT
+    driver, ``raft_wshard.make_wsharded_raft_eval``: encoders on
+    clip-shifted slabs with margin-masked global norm statistics
+    (``nn/raft/encoders.WShardCtx`` + ``GroupNormNHWC`` keep-masks /
+    ``axis_name`` psum), this ring for the full-w2 rows, then the GRU
+    cascade on halo windows with a per-iteration hidden-state
+    ``ppermute`` re-exchange — parity-tested end-to-end
+    (``test_wsharded_raft_whole_model_parity``).  Memory win is the
+    point: the [B,H,W,W] pyramid — RAFT's dominant tensor — scales as
+    W²/n per device.
     """
     n = jax.lax.axis_size(axis_name)
     i = jax.lax.axis_index(axis_name)

@@ -493,3 +493,55 @@ def test_fsdp_sharded_checkpoint_restore(tmp_path):
     live2, m_live = step(live, batch)
     back2, m_back = step(back, batch)
     assert float(m_live["loss"]) == float(m_back["loss"])
+
+
+def test_wsharded_raft_whole_model_parity():
+    """End-to-end W-sharded RAFT-Stereo (round-4 verdict item 2): the
+    full model — clip-shifted encoder slabs with margin-masked global
+    norm statistics, ring-exchanged correlation rows ([B,H4,~W4/n,W4]
+    per device: the W²/n pyramid win), and the GRU cascade on
+    pool-phase-aligned halo windows with per-iteration hidden-state
+    ppermute re-exchange and global-coordinate cross-scale resizes —
+    matches the unsharded ``RAFTStereo.apply`` to f32 summation-order
+    noise.  Reference op: corr/corr.py:104-111 (which materialises the
+    full quadratic volume on one device).
+
+    Geometry is chosen so every regime is exercised: 4 devices, W=2048
+    → 1280-wide slabs (interior slabs unclipped, edge slabs clip-shifted,
+    off ∈ {0, margin, 2·margin}), 160-wide 1/4 GRU windows ≪ W/4."""
+    from stereoformer_tpu.models import RAFTStereo
+
+    n, B, H, W, iters = 4, 1, 16, 2048, 3
+    mesh = parallel.make_mesh(jax.devices()[:n])
+    model = RAFTStereo(hidden_dims=(16, 16, 16))
+
+    rng = np.random.RandomState(0)
+    left = jnp.asarray(rng.uniform(0, 255, (B, H, W, 3)).astype(np.float32))
+    right = jnp.asarray(rng.uniform(0, 255, (B, H, W, 3)).astype(np.float32))
+    variables = jax.jit(
+        lambda l, r: model.init(jax.random.PRNGKey(0), l, r, iters=1,
+                                train=True)
+    )(left[:, :, :128], right[:, :, :128])
+
+    ref = np.asarray(jax.jit(
+        lambda l, r: model.apply(
+            variables, l, r, iters=iters, test_mode=True, train=False
+        )["disparities"][-1]
+    )(left, right))
+
+    run = parallel.make_wsharded_raft_eval(
+        mesh, model, variables, iters=iters, margin=384, halo16=8
+    )
+    out = run(left, right)
+    # output stays sharded on W (one kept slab per device)
+    assert out.shape == (B, H, W, 1)
+    assert len(out.sharding.addressable_devices) == n
+    out = np.asarray(out)
+
+    # measured noise floor ~8e-4 on |disp|~50 (halo-independent: the same
+    # max error at halo16=12 — psum'd-stats summation order, amplified
+    # through 3 GRU iterations), vs 54 px at margin=32 for naive
+    # overlap-and-discard on this family (wshard.py note)
+    err = np.abs(out - ref)
+    assert err.max() < 5e-3, (err.max(), np.abs(ref).max())
+    assert err.mean() < 5e-4, err.mean()
