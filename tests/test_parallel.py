@@ -545,3 +545,55 @@ def test_wsharded_raft_whole_model_parity():
     err = np.abs(out - ref)
     assert err.max() < 5e-3, (err.max(), np.abs(ref).max())
     assert err.mean() < 5e-4, err.mean()
+
+
+def test_wsharded_raft_pyramid_memory_w2_over_n():
+    """The W-sharded driver's stated payoff, measured from the traced
+    program: the all-pairs correlation pyramid — RAFT's dominant tensor,
+    quadratic in W (corr/corr.py:104-111 materialises [B,H,W1,1,W2] on
+    one device) — lives at W·(W/n + 2·halo) per device, i.e. W²/n plus
+    a W-independent halo term.  Trace-only (``.lower`` on abstract
+    inputs): at W=8192 on 8 devices the per-device pyramid is 6.4× (vs
+    the ideal 8×) smaller than the unsharded one, a geometry where the
+    full pyramid (252 MB f32 at B=1, H=32 — real pairs are 100× taller)
+    would dominate a chip's HBM."""
+    from stereoformer_tpu import ops
+    from stereoformer_tpu.models import RAFTStereo
+
+    n, B, H, W, iters = 8, 1, 32, 8192, 2
+    margin, halo16 = 384, 8
+    mesh = parallel.make_mesh(jax.devices()[:n])
+    model = RAFTStereo(hidden_dims=(16, 16, 16))
+    variables = jax.jit(
+        lambda: model.init(jax.random.PRNGKey(0),
+                           jnp.zeros((B, H, 128, 3)),
+                           jnp.zeros((B, H, 128, 3)), iters=1, train=True)
+    )()
+
+    recorded = []
+    orig = ops.corr_pyramid
+
+    def spy(corr, levels):
+        recorded.append(corr.shape)
+        return orig(corr, levels)
+
+    ops.corr_pyramid = spy
+    try:
+        run = parallel.make_wsharded_raft_eval(
+            mesh, model, variables, iters=iters, margin=margin,
+            halo16=halo16)
+        spec = jax.ShapeDtypeStruct((B, H, W, 3), jnp.float32)
+        run.lower(spec, spec)   # traces the shard body; no execution
+    finally:
+        ops.corr_pyramid = orig
+
+    (shape,) = recorded         # per-device corr rows [B, H4, w4, Wg4]
+    Wg4, Wk4, m4 = W // 4, W // 4 // n, halo16 * 4
+    assert shape == (B, H // 4, Wk4 + 2 * m4, Wg4), shape
+    level_scale = sum(0.5 ** k for k in range(model.corr_levels))
+    per_device = int(np.prod(shape)) * 4 * level_scale
+    unsharded = B * (H // 4) * Wg4 * Wg4 * 4 * level_scale
+    # W²/n + halo: the halo term (2·m4/Wg4 here ≈ 3% of W) is
+    # W-independent, so the ratio → 1/n as W grows
+    assert per_device == unsharded * (Wk4 + 2 * m4) / Wg4
+    assert per_device < 1.3 * unsharded / n, (per_device, unsharded)
