@@ -222,10 +222,36 @@ def train_transform(
     crop=(320, 640), color: bool = False,
 ) -> dict:
     """The trainer's train pipeline: RandomCrop + ÷255 + Normalize
-    (trainer_DLC_GRU.py:59-64); optional photometric jitter first."""
+    (trainer_DLC_GRU.py:59-64); optional photometric jitter first.
+
+    When the native IO library is built, the three image passes
+    (crop-copy, ÷255, normalize) run as ONE fused pass per image
+    (``native.crop_normalize``) — same samples bit-for-float-ulp (the
+    offsets come from the same RNG draws in the same order;
+    parity-tested in tests/test_native.py).  Measured on the 4-core
+    bench host: per-worker sample cost 40 → ~31 ms (BENCHMARKS "input
+    pipeline")."""
     if color:
         sample = random_color(sample, rng)
-    sample = random_crop(sample, crop[0], crop[1], rng)
+    height, width = crop
+    H, W = sample["img_left"].shape[:2]
+    if H >= height and W >= width:
+        from . import native
+
+        if native.available():
+            # same draw order as random_crop (ox then oy)
+            ox = int(rng.integers(0, W - width + 1))
+            oy = int(rng.integers(0, H - height + 1))
+            for k in _IMG_KEYS:
+                sample[k] = native.crop_normalize(
+                    sample[k], oy, ox, height, width,
+                    IMAGENET_MEAN, IMAGENET_STD,
+                )
+            for k in _DENSE_KEYS[2:]:
+                if k in sample and sample[k] is not None:
+                    sample[k] = sample[k][oy : oy + height, ox : ox + width]
+            return sample
+    sample = random_crop(sample, height, width, rng)
     return normalize(to_unit(sample))
 
 

@@ -66,3 +66,44 @@ def test_batch_decode(tmp_path):
     assert rc == 0 and (results == 0).all()
     for i, w in enumerate(wants):
         np.testing.assert_array_equal(out[i].reshape(H, W), w)
+
+
+def test_train_transform_native_path_parity():
+    """train_transform's fused native crop+normalize fast path must
+    produce the same sample as the pure-numpy fallback — same RNG draw
+    order (ox, oy), same crop window on every dense key, values equal to
+    float-ulp noise ((x·(1/255) − mean)·(1/std) vs (x/255 − mean)/std)."""
+    import numpy as np
+    import pytest
+
+    from stereoformer_tpu.data import native
+    from stereoformer_tpu.data.transforms import train_transform
+
+    if not native.available():
+        pytest.skip("native IO library not built (make -C native)")
+
+    rng_img = np.random.RandomState(7)
+    def fresh():
+        return {
+            "img_left": rng_img.uniform(0, 255, (64, 96, 3)).astype(
+                np.float32),
+            "img_right": rng_img.uniform(0, 255, (64, 96, 3)).astype(
+                np.float32),
+            "gt_disp": rng_img.uniform(0, 32, (64, 96)).astype(np.float32),
+        }
+    s0 = fresh()
+    s1 = {k: v.copy() for k, v in s0.items()}
+
+    fast = train_transform(s0, np.random.default_rng(3), crop=(32, 48))
+
+    saved, native._lib = native._lib, None
+    saved_p, native._LIB_PATH = native._LIB_PATH, "/nonexistent"
+    try:
+        slow = train_transform(s1, np.random.default_rng(3), crop=(32, 48))
+    finally:
+        native._lib, native._LIB_PATH = saved, saved_p
+
+    for k in ("img_left", "img_right", "gt_disp"):
+        assert fast[k].shape == slow[k].shape, k
+        np.testing.assert_allclose(fast[k], slow[k], rtol=0, atol=2e-6,
+                                   err_msg=k)
