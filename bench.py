@@ -142,8 +142,19 @@ def main():
     # driver-certified, not builder-self-reported (round-2 verdict #3).
     # eval B=2 @ 576x960 12 iters test_mode; train step B=4 @ 320x720.
     # BENCH_RAFT=0 skips (budget escape hatch).
+    # Self-imposed wall budget: on this transport a fresh process can pay a
+    # 5-15 min server-side first-execution cost per executable (observed
+    # round 4), so a slow session could otherwise blow the driver's budget
+    # AFTER the flagship rows were measured but BEFORE the JSON printed.
+    # Skip remaining RAFT stages once the budget is tight; whatever was
+    # measured still lands in the record.
+    budget_s = float(os.environ.get("BENCH_BUDGET_S", "1800"))
+
+    def budget_left() -> float:
+        return budget_s - (time.perf_counter() - _T0)
+
     raft = {}
-    if os.environ.get("BENCH_RAFT", "1") != "0":
+    if os.environ.get("BENCH_RAFT", "1") != "0" and budget_left() > 60:
         try:
             import optax
 
@@ -179,6 +190,30 @@ def main():
             raft["raft_eval_pairs_per_sec"] = round(Br / dt, 3)
             _phase(f"raft: eval {raft['raft_eval_pairs_per_sec']} pairs/s")
 
+            # throughput batch B=8 (round-3 verdict #7: the headline
+            # B=8 figure must be driver-certified, not self-reported)
+            if budget_left() < 60:
+                raise TimeoutError(f"bench budget: {budget_left():.0f}s left")
+            B8 = 8
+            rl8 = jnp.concatenate([rl] * (B8 // Br), axis=0)
+            rr8 = jnp.concatenate([rr] * (B8 // Br), axis=0)
+            _phase("raft: eval B=8 compiling")
+            y = rfwd(rparams, rl8, rr8)
+            float(jnp.sum(y.astype(jnp.float32)))
+            _phase("raft: eval B=8 compiled+warm")
+            t0 = time.perf_counter()
+            reps = 10
+            for _ in range(reps):
+                y = rfwd(rparams, rl8, rr8)
+            float(jnp.sum(y.astype(jnp.float32)))
+            dt = (time.perf_counter() - t0) / reps
+            raft["raft_eval_b8_ms_per_batch"] = round(dt * 1e3, 2)
+            raft["raft_eval_b8_pairs_per_sec"] = round(B8 / dt, 3)
+            _phase(f"raft: eval B=8 {raft['raft_eval_b8_pairs_per_sec']} "
+                   f"pairs/s")
+
+            if budget_left() < 60:
+                raise TimeoutError(f"bench budget: {budget_left():.0f}s left")
             Bt, Ht, Wt = 4, 320, 720
             tl = jnp.asarray(rng.uniform(0, 255, (Bt, Ht, Wt, 3)).astype(
                 np.float32))
