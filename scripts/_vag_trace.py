@@ -1,6 +1,10 @@
 """Capture a device trace of a model's value_and_grad for hlo_stats
 attribution.  usage: _vag_trace.py <outdir> [bf16|f32] [model] — then
 PROTOCOL_BUFFERS_PYTHON_IMPLEMENTATION=python python scripts/hlo_stats.py <outdir>
+
+TRACE_STEP=full traces the production train step instead
+(make_train_step: loss + grad + amsgrad update, donated state) — the
+step whose buffer donation removes the copy-dones a raw vag pays.
 """
 import os
 import sys
@@ -50,10 +54,29 @@ def vag(params, batch_stats, l, r, g):
     return loss, upd, grads
 
 
-c = jax.jit(vag).lower(params, batch_stats, left, right, gt).compile()
-out = c(params, batch_stats, left, right, gt)
-float(out[0])
-with jax.profiler.trace(OUT):
-    outs = [c(params, batch_stats, left, right, gt) for _ in range(6)]
-    float(outs[-1][0])
+if os.environ.get("TRACE_STEP", "") == "full":
+    import optax
+
+    from stereoformer_tpu.train import TrainState, make_train_step
+
+    tx = optax.amsgrad(1e-3)
+    state = TrainState(
+        step=jnp.asarray(0, jnp.int32), params=params,
+        batch_stats=batch_stats, opt_state=jax.jit(tx.init)(params),
+    )
+    step = make_train_step(model, tx, loss_name="sequence", iters=ITERS)
+    batch = {"img_left": left, "img_right": right, "gt_disp": gt}
+    state, m = step(state, batch)
+    float(m["loss"])
+    with jax.profiler.trace(OUT):
+        for _ in range(6):
+            state, m = step(state, batch)
+        float(m["loss"])
+else:
+    c = jax.jit(vag).lower(params, batch_stats, left, right, gt).compile()
+    out = c(params, batch_stats, left, right, gt)
+    float(out[0])
+    with jax.profiler.trace(OUT):
+        outs = [c(params, batch_stats, left, right, gt) for _ in range(6)]
+        float(outs[-1][0])
 print("trace written to", OUT)

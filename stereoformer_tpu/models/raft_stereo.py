@@ -52,6 +52,17 @@ class RAFTStereo(nn.Module):
     # correlation accumulation, coordinates, flow head and mask softmax
     # stay f32 (repo mixed-precision convention).
     dtype: object = None
+    # checkpoint (jax.checkpoint / nn.remat) each GRU-cascade iteration:
+    # the backward recomputes the update block instead of storing its
+    # internals for all `iters` iterations.  At the 12-iteration train
+    # config the un-checkpointed step's activation footprint pushes XLA
+    # into ITS OWN HLO rematerialisation of the encoders — recomputing
+    # the full-res stem convs and re-reading encoder activations at
+    # ~320 GiB/s (BENCHMARKS "round-4 roofline") — so explicit
+    # checkpointing HERE trades cheap 1/4-res recompute against XLA's
+    # expensive full-res recompute.  Parameter tree is unchanged (lifted
+    # transform), so checkpoints load identically.
+    remat_update: bool = False
 
     def setup(self):
         self.cnet = MultiBasicEncoder(
@@ -70,7 +81,12 @@ class RAFTStereo(nn.Module):
                 self.hidden_dims[i] * 3, (3, 3), padding=1, dtype=self.dtype,
                 kernel_init=he_out(),
             ))
-        self.update_block = MultiUpdateBlock(
+        # static_argnums count self as 0 (flax subtracts 1 internally):
+        # the iterXX/update/need_mask bools and interp_fn drive Python
+        # control flow inside the block
+        cls = nn.remat(MultiUpdateBlock, static_argnums=(5, 6, 7, 8, 9, 10)) \
+            if self.remat_update else MultiUpdateBlock
+        self.update_block = cls(
             hidden_dims=tuple(self.hidden_dims),
             corr_levels=self.corr_levels,
             corr_radius=self.corr_radius,
@@ -112,9 +128,13 @@ class RAFTStereo(nn.Module):
 
     def update(self, net, ctx, corr_feat, flow, need_mask: bool = True,
                interp_fn=None):
-        """One GRU-cascade step (see nn/raft/update.MultiUpdateBlock)."""
+        """One GRU-cascade step (see nn/raft/update.MultiUpdateBlock).
+
+        Positional call: under ``remat_update`` the static arguments must
+        be positional for ``nn.remat``'s static_argnums."""
         return self.update_block(net, ctx, corr_feat, flow,
-                                 need_mask=need_mask, interp_fn=interp_fn)
+                                 True, True, True, True,
+                                 need_mask, interp_fn)
 
     def __call__(
         self,
