@@ -89,6 +89,7 @@ from .wshard import (  # noqa: E402  (W-sharded pipeline, see wshard.py)
 )
 from .raft_wshard import (  # noqa: E402  (whole-model W-sharded RAFT)
     make_wsharded_raft_eval,
+    make_wsharded_raft_train,
 )
 from .fsdp import (  # noqa: E402  (ZeRO-style sharded state, see fsdp.py)
     fsdp_shardings,

@@ -1,4 +1,4 @@
-"""Whole-model W-sharded RAFT-Stereo inference.
+"""Whole-model W-sharded RAFT-Stereo inference AND training.
 
 RAFT's dominant tensor is the [B, H/4, W/4, W/4] all-pairs correlation
 pyramid (reference op models/IterativeLocalCostVolume/corr/corr.py:104-111)
@@ -46,6 +46,7 @@ from __future__ import annotations
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 import flax.linen as nn
 from jax.sharding import Mesh, PartitionSpec as P
 
@@ -77,24 +78,30 @@ def _halo_window(x: jnp.ndarray, st, i, kept: int, m: int,
                                         axis=2)
 
 
-def make_wsharded_raft_eval(
+def _make_shard_body(
     mesh: Mesh,
     model: RAFTStereo,
-    variables,
-    iters: int = 12,
-    margin: int = 384,
-    halo16: int = 8,
-    axis_name: str = "data",
+    iters: int,
+    margin: int,
+    halo16: int,
+    axis_name: str,
+    train_mode: bool,
 ):
-    """Build ``run(left, right) -> [B, H, W, 1]`` (sharded on W): the
-    W-sharded equivalent of
-    ``model.apply(variables, l, r, iters=iters, test_mode=True,
-    train=False)["disparities"][-1]``.
+    """The per-shard W-sharded RAFT forward, shared by the eval and the
+    train drivers.  Returns ``shard(variables, left, right)`` yielding
+    the final kept disparity slab [B, H, Ws, 1] (``train_mode=False``,
+    test_mode semantics: only the last iteration is upsampled) or the
+    list of per-iteration kept disparity slabs (``train_mode=True``,
+    train semantics: mask head + convex upsample every iteration,
+    per-iteration ``stop_gradient`` detach as raft_stereo.py:172).
 
-    Inputs are replicated ([B,H,W,3] is small next to the activations
-    this avoids materialising per chip); all activations — including the
-    quadratic correlation pyramid — live at W/n (+halos) per device.
-    """
+    Norms always run with ``train=False``: group/instance norms have no
+    train/eval split, and BatchNorm uses its running statistics — the
+    reference's ``freeze_bn`` fine-tune mode (raft_stereo.py:124-127),
+    which is exactly the wide-pair fine-tune use case this driver
+    exists for (train-mode batch statistics under W-sharding would need
+    the same masked psum the sample-local norms get; documented
+    unsupported in nn/raft/encoders._Norm)."""
     assert model.n_gru_layers == 3, "sharded driver covers the 3-level cascade"
     n = mesh.shape[axis_name]
     f = 2 ** model.downsample                       # finest feature scale
@@ -107,7 +114,7 @@ def make_wsharded_raft_eval(
         f"({scales[0]}·{halos[0]}) plus the encoder receptive field"
     )
 
-    def shard(left, right):
+    def shard(variables, left, right):
         B, H, W, _ = left.shape
         assert W % (n * coarsest) == 0, (W, n, coarsest)
         Ws = W // n
@@ -204,17 +211,29 @@ def make_wsharded_raft_eval(
         coords1 = coords0
         flow_y = jnp.zeros((B, H4, w4, 1))
         mask = None
+        preds = []
         for itr in range(iters):
+            # per-iteration detach, as the reference (raft_stereo.py:172)
+            coords1 = jax.lax.stop_gradient(coords1)
             corr_feat = ops.corr_lookup(pyramid, coords1, model.corr_radius)
             flow = jnp.concatenate(
                 [(coords1 - coords0)[..., None], flow_y], axis=-1
             )
             net_w, mask, delta = model.apply(
                 variables, net_w, ctx_w, corr_feat, flow,
-                need_mask=itr == iters - 1, interp_fn=interp_global,
+                need_mask=train_mode or itr == iters - 1,
+                interp_fn=interp_global,
                 method=RAFTStereo.update,
             )
             coords1 = coords1 + delta[..., 0]
+            koff4 = i * Wk4 - st4
+            if train_mode or itr == iters - 1:
+                flow_up = ops.upsample_convex(
+                    (coords1 - coords0)[..., None], mask, f
+                )
+                preds.append(jax.lax.dynamic_slice_in_dim(
+                    -flow_up, f * koff4, f * Wk4, axis=2
+                ))
             if itr == iters - 1:
                 break
             # re-exactify: kept columns are exact; rebuild the halo
@@ -227,21 +246,92 @@ def make_wsharded_raft_eval(
                                                     axis=2)
                 fresh.append(_halo_window(kept, st, i, Wk, m, axis_name))
             net_w = fresh
-            koff4 = i * Wk4 - st4
             ckept = jax.lax.dynamic_slice_in_dim(coords1, koff4, Wk4, axis=2)
             coords1 = _halo_window(ckept, st4, i, Wk4, m4, axis_name)
 
-        flow_up = ops.upsample_convex(
-            (coords1 - coords0)[..., None], mask, f
-        )
-        koff4 = i * Wk4 - st4
-        return jax.lax.dynamic_slice_in_dim(
-            -flow_up, f * koff4, f * Wk4, axis=2
-        )
+        return preds if train_mode else preds[-1]
 
-    return jax.jit(
-        jax.shard_map(
-            shard, mesh=mesh, in_specs=(P(), P()),
-            out_specs=P(None, None, axis_name, None),
-        )
+    return shard
+
+
+def make_wsharded_raft_eval(
+    mesh: Mesh,
+    model: RAFTStereo,
+    variables,
+    iters: int = 12,
+    margin: int = 384,
+    halo16: int = 8,
+    axis_name: str = "data",
+):
+    """Build ``run(left, right) -> [B, H, W, 1]`` (sharded on W): the
+    W-sharded equivalent of
+    ``model.apply(variables, l, r, iters=iters, test_mode=True,
+    train=False)["disparities"][-1]``.
+
+    Inputs are replicated ([B,H,W,3] is small next to the activations —
+    this avoids materialising per chip); all activations — including the
+    quadratic correlation pyramid — live at W/n (+halos) per device.
+    """
+    shard = _make_shard_body(mesh, model, iters, margin, halo16, axis_name,
+                             train_mode=False)
+    run = jax.shard_map(
+        shard, mesh=mesh, in_specs=(P(), P(), P()),
+        out_specs=P(None, None, axis_name, None),
     )
+    return jax.jit(lambda left, right: run(variables, left, right))
+
+
+def make_wsharded_raft_train(
+    mesh: Mesh,
+    model: RAFTStereo,
+    iters: int = 12,
+    margin: int = 384,
+    halo16: int = 8,
+    axis_name: str = "data",
+    gamma: float = 0.8,
+    maxdisp: float = 192.0,
+):
+    """W-sharded RAFT-Stereo TRAINING: build
+    ``fn(params, batch_stats, left, right, gt) -> (loss, grads)``
+    — the sequence loss (losses/squence_loss.py:6-18 semantics: per-
+    iteration mean of |pred·m − gt·m| over ALL pixels, γ-weighted) over
+    the per-iteration W-sharded forward, with grads psum'd across the
+    mesh so pairs too wide for one chip fine-tune at all.
+
+    Norm semantics are the reference's ``freeze_bn`` fine-tune mode
+    (BatchNorm running stats; see ``_make_shard_body``) — the exact
+    configuration wide-pair fine-tuning uses.  Loss and every grad leaf
+    are parity-tested against the unsharded
+    ``value_and_grad(sequence_loss ∘ apply)`` on the virtual mesh
+    (tests/test_parallel.py::test_wsharded_raft_train_parity)."""
+    shard = _make_shard_body(mesh, model, iters, margin, halo16, axis_name,
+                             train_mode=True)
+    n = mesh.shape[axis_name]
+
+    def shard_loss(params, batch_stats, left, right, gt):
+        variables = {"params": params, "batch_stats": batch_stats}
+        preds = shard(variables, left, right)
+        i = jax.lax.axis_index(axis_name)
+        Ws = left.shape[2] // n
+        gt_k = jax.lax.dynamic_slice_in_dim(gt, i * Ws, Ws, axis=2)
+        m = ((gt_k > 0.0) & (gt_k < maxdisp)).astype(gt.dtype)
+        denom = float(np.prod(gt.shape))          # global pixel count
+        total = 0.0
+        for j, p in enumerate(preds):
+            w = gamma ** (len(preds) - j - 1)
+            s = jax.lax.psum(jnp.sum(jnp.abs(p * m - gt_k * m)), axis_name)
+            total = total + w * s / denom
+        return total
+
+    # check_vma=False: same scoped workaround as wshard.py — the
+    # custom-VJP Pallas convs confuse the varying-manual-axes checker
+    # under differentiation; values/grads are parity-tested instead.
+    run = jax.shard_map(
+        shard_loss, mesh=mesh, in_specs=(P(), P(), P(), P(), P()),
+        out_specs=P(), check_vma=False,
+    )
+
+    def global_loss(params, batch_stats, left, right, gt):
+        return run(params, batch_stats, left, right, gt)
+
+    return jax.jit(jax.value_and_grad(global_loss))

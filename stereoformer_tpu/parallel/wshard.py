@@ -264,7 +264,8 @@ def allpairs_corr1d_wsharded(
     differentiable (ppermute transposes to the reverse permutation).
 
     This op is the correlation stage of the WHOLE-MODEL W-sharded RAFT
-    driver, ``raft_wshard.make_wsharded_raft_eval``: encoders on
+    drivers, ``raft_wshard.make_wsharded_raft_eval`` /
+    ``make_wsharded_raft_train``: encoders on
     clip-shifted slabs with margin-masked global norm statistics
     (``nn/raft/encoders.WShardCtx`` + ``GroupNormNHWC`` keep-masks /
     ``axis_name`` psum), this ring for the full-w2 rows, then the GRU

@@ -597,3 +597,63 @@ def test_wsharded_raft_pyramid_memory_w2_over_n():
     # W-independent, so the ratio → 1/n as W grows
     assert per_device == unsharded * (Wk4 + 2 * m4) / Wg4
     assert per_device < 1.3 * unsharded / n, (per_device, unsharded)
+
+
+def test_wsharded_raft_train_parity():
+    """W-sharded RAFT TRAINING (parallel/raft_wshard.make_wsharded_raft_train):
+    the γ-weighted sequence loss over the per-iteration W-sharded forward
+    and its psum'd parameter gradients must match the unsharded
+    ``value_and_grad(sequence_loss ∘ apply)`` (freeze-BN norm semantics:
+    apply with train=False, the reference's fine-tune mode) — the
+    training-side completion of the W²/n story: pairs too wide for one
+    chip fine-tune at all."""
+    from stereoformer_tpu.models import RAFTStereo
+    from stereoformer_tpu.losses import sequence_loss
+
+    n, B, H, W, iters = 4, 1, 16, 2048, 2
+    mesh = parallel.make_mesh(jax.devices()[:n])
+    model = RAFTStereo(hidden_dims=(16, 16, 16))
+
+    rng = np.random.RandomState(5)
+    left = jnp.asarray(rng.uniform(0, 255, (B, H, W, 3)).astype(np.float32))
+    right = jnp.asarray(rng.uniform(0, 255, (B, H, W, 3)).astype(np.float32))
+    gt = jnp.asarray(rng.uniform(0.0, 64.0, (B, H, W, 1)).astype(np.float32))
+    variables = jax.jit(
+        lambda l, r: model.init(jax.random.PRNGKey(0), l, r, iters=1,
+                                train=True)
+    )(left[:, :, :128], right[:, :, :128])
+    params, bstats = variables["params"], variables["batch_stats"]
+
+    def ref_loss(p):
+        out = model.apply({"params": p, "batch_stats": bstats},
+                          left, right, iters=iters, train=False)
+        return sequence_loss(out["disparities"], gt)
+
+    ref_l, ref_g = jax.jit(jax.value_and_grad(ref_loss))(params)
+
+    fn = parallel.make_wsharded_raft_train(
+        mesh, model, iters=iters, margin=384, halo16=8)
+    loss, grads = fn(params, bstats, left, right, gt)
+
+    assert abs(float(loss) - float(ref_l)) < 1e-3 * max(1.0, float(ref_l)), (
+        float(loss), float(ref_l))
+    leaves_ref = jax.tree_util.tree_leaves(ref_g)
+    leaves_got = jax.tree_util.tree_leaves(grads)
+    assert len(leaves_ref) == len(leaves_got)
+    # Norm-based metric: the forward's ~8e-4 px psum-summation noise
+    # flips the L1 kink sign on pixels with |pred − gt| below the floor,
+    # so elementwise max-rel is not meaningful — and instance norm makes
+    # every fnet conv-bias gradient mathematically zero (both sides are
+    # pure float noise there; measured global norm-rel 6.3e-4, worst
+    # meaningful leaf 9.8e-3).
+    num = den = 0.0
+    worst = 0.0
+    for a, b in zip(leaves_ref, leaves_got):
+        na = float(jnp.linalg.norm(a))
+        nd = float(jnp.linalg.norm(a - b))
+        num += nd * nd
+        den += na * na
+        if na > 1e-5:
+            worst = max(worst, nd / na)
+    assert (num / den) ** 0.5 < 5e-3, (num / den) ** 0.5
+    assert worst < 3e-2, worst
