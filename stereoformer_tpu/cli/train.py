@@ -88,6 +88,11 @@ def build_parser() -> argparse.ArgumentParser:
                         "(BENCHMARKS.md 'GRU loop modes' — kept as a "
                         "tested negative result); ignored with "
                         "--gru_loop unroll")
+    p.add_argument("--remat_update", action="store_true",
+                   help="RAFT only: checkpoint each GRU-cascade iteration "
+                        "(nn.remat) - the OOM escape hatch for larger "
+                        "batches/crops at ~7% step cost (BENCHMARKS 'RAFT "
+                        "remat_update A/B')")
     p.add_argument("--freeze_bn", action="store_true",
                    help="freeze BatchNorm during training (use running "
                         "stats, no stat updates) — the RAFT fine-tune "
@@ -192,6 +197,7 @@ def main(argv=None):
         gru_loop=opt.gru_loop,
         scan_unroll=opt.scan_unroll,
         freeze_bn=opt.freeze_bn,
+        remat_update=opt.remat_update,
     )
     trainer.initialize()
 

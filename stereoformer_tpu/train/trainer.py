@@ -82,6 +82,7 @@ class DisparityTrainer:
         scale_size: Optional[tuple[int, int]] = None,
         filenames_dir: Optional[str] = None,
         gru_loop: str = "unroll",
+        remat_update: bool = False,
         scan_unroll: int = 1,
         freeze_bn: bool = False,
     ):
@@ -107,6 +108,7 @@ class DisparityTrainer:
         self.color_aug = color_aug
         self.dtype = dtype
         self.gru_loop = gru_loop
+        self.remat_update = remat_update
         self.scan_unroll = scan_unroll
         self.freeze_bn = freeze_bn
         self.scale_size = scale_size
@@ -174,6 +176,15 @@ class DisparityTrainer:
             # (BENCHMARKS.md "GRU loop modes")
             kw["loop"] = self.gru_loop
             kw["scan_unroll"] = self.scan_unroll
+        if self.remat_update:
+            # RAFT-only memory knob: checkpoint each GRU-cascade
+            # iteration (+~7% step time, -2.6 GiB peak at B=4 @ 320x720
+            # - BENCHMARKS "RAFT remat_update A/B"); other families'
+            # iteration memory is managed by --remat / --gru_loop scan
+            assert self.model_name.startswith("RAFT"), (
+                "--remat_update applies to the RAFT family only"
+            )
+            kw["remat_update"] = True
         self.net = get_model(self.model_name, max_disp=self.maxdisp, **kw)
         h, w = self.crop_size
         dummy = jnp.zeros((1, h, w, 3), jnp.float32)

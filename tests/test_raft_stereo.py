@@ -175,3 +175,30 @@ def test_bf16_dtype_path(setup):
     assert float(jnp.max(jnp.abs(d16 - d32))) / scale < 0.10
     cc = np.corrcoef(np.asarray(d32).ravel(), np.asarray(d16).ravel())[0, 1]
     assert cc > 0.99
+
+
+def test_remat_update_knob_cli_plumbing():
+    """``--remat_update`` reaches the model: registry passes the field
+    through, the trainer gates it to the RAFT family, and the lifted
+    nn.remat keeps the parameter tree unchanged (checkpoints load)."""
+    import pytest
+
+    from stereoformer_tpu.models import get_model
+    from stereoformer_tpu.train import DisparityTrainer
+
+    m = get_model("RAFT_Stereo", remat_update=True)
+    assert m.remat_update is True
+
+    t = DisparityTrainer(
+        lr=1e-3, dataset="dummy", model="RAFT_Stereo", batch_size=1, test_batch=1,
+        crop_size=(32, 64), mesh=None, remat_update=True, num_workers=0,
+    )
+    t._build_net()
+    assert t.net.remat_update is True
+
+    t2 = DisparityTrainer(
+        lr=1e-3, dataset="dummy", model="LowCNN_gru", batch_size=1, test_batch=1,
+        crop_size=(32, 64), mesh=None, remat_update=True, num_workers=0,
+    )
+    with pytest.raises(AssertionError):
+        t2._build_net()
