@@ -262,6 +262,7 @@ def make_wsharded_raft_eval(
     margin: int = 384,
     halo16: int = 8,
     axis_name: str = "data",
+    batch_axis: str | None = None,
 ):
     """Build ``run(left, right) -> [B, H, W, 1]`` (sharded on W): the
     W-sharded equivalent of
@@ -271,12 +272,19 @@ def make_wsharded_raft_eval(
     Inputs are replicated ([B,H,W,3] is small next to the activations —
     this avoids materialising per chip); all activations — including the
     quadratic correlation pyramid — live at W/n (+halos) per device.
-    """
+
+    ``batch_axis``: optional second mesh axis for the production 2-D
+    layout (DP × W-shard, e.g. ``make_mesh_2d(dp, n, axis_names=("data",
+    "width"))`` with ``axis_name="width"``, ``batch_axis="data"``) —
+    batch rows shard over it with NO extra communication (the body only
+    talks over ``axis_name``: norm-stat psums are per-sample, the corr
+    ring and halo ppermutes are per-row)."""
     shard = _make_shard_body(mesh, model, iters, margin, halo16, axis_name,
                              train_mode=False)
+    bspec = P(batch_axis) if batch_axis is not None else P()
     run = jax.shard_map(
-        shard, mesh=mesh, in_specs=(P(), P(), P()),
-        out_specs=P(None, None, axis_name, None),
+        shard, mesh=mesh, in_specs=(P(), bspec, bspec),
+        out_specs=P(batch_axis, None, axis_name, None),
     )
     return jax.jit(lambda left, right: run(variables, left, right))
 
@@ -290,6 +298,7 @@ def make_wsharded_raft_train(
     axis_name: str = "data",
     gamma: float = 0.8,
     maxdisp: float = 192.0,
+    batch_axis: str | None = None,
 ):
     """W-sharded RAFT-Stereo TRAINING: build
     ``fn(params, batch_stats, left, right, gt) -> (loss, grads)``
@@ -303,10 +312,17 @@ def make_wsharded_raft_train(
     configuration wide-pair fine-tuning uses.  Loss and every grad leaf
     are parity-tested against the unsharded
     ``value_and_grad(sequence_loss ∘ apply)`` on the virtual mesh
-    (tests/test_parallel.py::test_wsharded_raft_train_parity)."""
+    (tests/test_parallel.py::test_wsharded_raft_train_parity).
+
+    ``batch_axis``: optional second mesh axis (DP × W-shard, see
+    ``make_wsharded_raft_eval``); batch rows and gt shard over it, the
+    loss mean and the grad psum extend over both axes (2-D parity:
+    ``test_wsharded_raft_2d_mesh``)."""
     shard = _make_shard_body(mesh, model, iters, margin, halo16, axis_name,
                              train_mode=True)
     n = mesh.shape[axis_name]
+    axes = (axis_name,) if batch_axis is None else (axis_name, batch_axis)
+    dp = 1 if batch_axis is None else mesh.shape[batch_axis]
 
     def shard_loss(params, batch_stats, left, right, gt):
         variables = {"params": params, "batch_stats": batch_stats}
@@ -315,19 +331,20 @@ def make_wsharded_raft_train(
         Ws = left.shape[2] // n
         gt_k = jax.lax.dynamic_slice_in_dim(gt, i * Ws, Ws, axis=2)
         m = ((gt_k > 0.0) & (gt_k < maxdisp)).astype(gt.dtype)
-        denom = float(np.prod(gt.shape))          # global pixel count
+        denom = float(np.prod(gt.shape)) * dp     # global pixel count
         total = 0.0
         for j, p in enumerate(preds):
             w = gamma ** (len(preds) - j - 1)
-            s = jax.lax.psum(jnp.sum(jnp.abs(p * m - gt_k * m)), axis_name)
+            s = jax.lax.psum(jnp.sum(jnp.abs(p * m - gt_k * m)), axes)
             total = total + w * s / denom
         return total
 
     # check_vma=False: same scoped workaround as wshard.py — the
     # custom-VJP Pallas convs confuse the varying-manual-axes checker
     # under differentiation; values/grads are parity-tested instead.
+    bspec = P(batch_axis) if batch_axis is not None else P()
     run = jax.shard_map(
-        shard_loss, mesh=mesh, in_specs=(P(), P(), P(), P(), P()),
+        shard_loss, mesh=mesh, in_specs=(P(), P(), bspec, bspec, bspec),
         out_specs=P(), check_vma=False,
     )
 

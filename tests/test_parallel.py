@@ -657,3 +657,63 @@ def test_wsharded_raft_train_parity():
             worst = max(worst, nd / na)
     assert (num / den) ** 0.5 < 5e-3, (num / den) ** 0.5
     assert worst < 3e-2, worst
+
+
+def test_wsharded_raft_2d_mesh():
+    """The production 2-D layout: DP × W-shard on a (2, 4) mesh — batch
+    rows over "data", image width over "width".  The body communicates
+    only over the width axis (per-sample norm psums, per-row corr ring
+    and halo ppermutes), so batch sharding composes with no code in the
+    driver beyond specs; the train loss means over both axes.  Eval and
+    train both parity-checked vs the unsharded model."""
+    from stereoformer_tpu.models import RAFTStereo
+    from stereoformer_tpu.losses import sequence_loss
+    from stereoformer_tpu.parallel import make_mesh_2d
+
+    B, H, W, iters = 2, 16, 2048, 2
+    mesh = make_mesh_2d(2, 4, axis_names=("data", "width"))
+    model = RAFTStereo(hidden_dims=(16, 16, 16))
+
+    rng = np.random.RandomState(9)
+    left = jnp.asarray(rng.uniform(0, 255, (B, H, W, 3)).astype(np.float32))
+    right = jnp.asarray(rng.uniform(0, 255, (B, H, W, 3)).astype(np.float32))
+    gt = jnp.asarray(rng.uniform(0.0, 64.0, (B, H, W, 1)).astype(np.float32))
+    variables = jax.jit(
+        lambda l, r: model.init(jax.random.PRNGKey(0), l, r, iters=1,
+                                train=True)
+    )(left[:, :, :128], right[:, :, :128])
+    params, bstats = variables["params"], variables["batch_stats"]
+
+    # eval
+    ref = np.asarray(jax.jit(
+        lambda l, r: model.apply(
+            variables, l, r, iters=iters, test_mode=True, train=False
+        )["disparities"][-1]
+    )(left, right))
+    run = parallel.make_wsharded_raft_eval(
+        mesh, model, variables, iters=iters, margin=384, halo16=8,
+        axis_name="width", batch_axis="data")
+    out = run(left, right)
+    assert out.shape == (B, H, W, 1)
+    assert len(out.sharding.addressable_devices) == 8
+    err = np.abs(np.asarray(out) - ref)
+    assert err.max() < 5e-3, err.max()
+
+    # train
+    def ref_loss(p):
+        o = model.apply({"params": p, "batch_stats": bstats},
+                        left, right, iters=iters, train=False)
+        return sequence_loss(o["disparities"], gt)
+
+    ref_l, ref_g = jax.jit(jax.value_and_grad(ref_loss))(params)
+    fn = parallel.make_wsharded_raft_train(
+        mesh, model, iters=iters, margin=384, halo16=8,
+        axis_name="width", batch_axis="data")
+    loss, grads = fn(params, bstats, left, right, gt)
+    assert abs(float(loss) - float(ref_l)) < 1e-3 * max(1.0, float(ref_l))
+    num = den = 0.0
+    for a, b in zip(jax.tree_util.tree_leaves(ref_g),
+                    jax.tree_util.tree_leaves(grads)):
+        num += float(jnp.linalg.norm(a - b)) ** 2
+        den += float(jnp.linalg.norm(a)) ** 2
+    assert (num / den) ** 0.5 < 5e-3, (num / den) ** 0.5
