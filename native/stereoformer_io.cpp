@@ -19,6 +19,8 @@
 #include <thread>
 #include <vector>
 
+#include <zlib.h>
+
 namespace {
 
 bool host_is_little_endian() {
@@ -167,6 +169,187 @@ int sf_read_pfm_batch(const char* paths, int32_t n, float* out,
   for (auto& w : workers) w.join();
   for (int i = 0; i < n; ++i)
     if (results[i]) return results[i];
+  return 0;
+}
+
+}  // extern "C"
+
+// ---------------------------------------------------------------------------
+// PNG decode (8-bit, non-interlaced; gray / RGB / gray+alpha / RGBA).
+//
+// The pipeline's measured floor after the fused transform is PNG decode
+// (BENCHMARKS "input pipeline": 12.8 ms/image through PIL at 540x960).
+// This is a lean zlib-inflate + unfilter decoder with no mode
+// conversions, CRC checks or allocations beyond the inflate buffer.
+// Palette (colortype 3), 16-bit and interlaced images return -20
+// ("unsupported") and the Python side falls back to PIL
+// (stereoformer_tpu/data/native.py: read_img_auto).
+// ---------------------------------------------------------------------------
+
+static inline uint32_t be32(const uint8_t* p) {
+  return (uint32_t(p[0]) << 24) | (uint32_t(p[1]) << 16) |
+         (uint32_t(p[2]) << 8) | uint32_t(p[3]);
+}
+
+namespace {
+
+struct PngInfo {
+  int32_t w = 0, h = 0, channels = 0;
+  // concatenated IDAT payload
+  std::vector<uint8_t> idat;
+};
+
+// parse = false: stop after IHDR (dims only).
+int parse_png(const char* path, PngInfo* info, bool want_data) {
+  FILE* f = fopen(path, "rb");
+  if (!f) return -1;
+  fseek(f, 0, SEEK_END);
+  long sz = ftell(f);
+  fseek(f, 0, SEEK_SET);
+  if (sz < 45) { fclose(f); return -2; }
+  std::vector<uint8_t> buf;
+  if (want_data) {
+    buf.resize(sz);
+    if (fread(buf.data(), 1, sz, f) != size_t(sz)) { fclose(f); return -3; }
+    fclose(f);
+  } else {
+    buf.resize(64 < sz ? 64 : sz);
+    if (fread(buf.data(), 1, buf.size(), f) != buf.size()) {
+      fclose(f);
+      return -3;
+    }
+    fclose(f);
+  }
+  static const uint8_t sig[8] = {137, 80, 78, 71, 13, 10, 26, 10};
+  if (memcmp(buf.data(), sig, 8) != 0) return -4;
+  size_t off = 8;
+  bool have_ihdr = false;
+  while (off + 8 <= buf.size()) {
+    uint32_t len = be32(&buf[off]);
+    const uint8_t* type = &buf[off + 4];
+    const uint8_t* data = &buf[off + 8];
+    if (!want_data || off + 12 + len > buf.size()) {
+      // dims-only read may not have the whole chunk in the 64-byte head
+      if (!memcmp(type, "IHDR", 4) && off + 8 + 13 <= buf.size()) {
+        // fallthrough to IHDR handling below
+      } else if (!want_data) {
+        return have_ihdr ? 0 : -5;
+      } else {
+        return -5;
+      }
+    }
+    if (!memcmp(type, "IHDR", 4)) {
+      if (len != 13) return -5;
+      info->w = int32_t(be32(data));
+      info->h = int32_t(be32(data + 4));
+      int bitdepth = data[8], colortype = data[9];
+      int interlace = data[12];
+      if (bitdepth != 8 || interlace != 0) return -20;
+      switch (colortype) {
+        case 0: info->channels = 1; break;
+        case 2: info->channels = 3; break;
+        case 4: info->channels = 2; break;
+        case 6: info->channels = 4; break;
+        default: return -20;  // palette / unknown -> PIL fallback
+      }
+      have_ihdr = true;
+      if (!want_data) return 0;
+    } else if (!memcmp(type, "IDAT", 4)) {
+      info->idat.insert(info->idat.end(), data, data + len);
+    } else if (!memcmp(type, "IEND", 4)) {
+      break;
+    }
+    off += 12 + size_t(len);
+  }
+  if (!have_ihdr) return -5;
+  if (want_data && info->idat.empty()) return -6;
+  return 0;
+}
+
+static inline uint8_t paeth(int a, int b, int c) {
+  int p = a + b - c;
+  int pa = p > a ? p - a : a - p;
+  int pb = p > b ? p - b : b - p;
+  int pc = p > c ? p - c : c - p;
+  if (pa <= pb && pa <= pc) return uint8_t(a);
+  if (pb <= pc) return uint8_t(b);
+  return uint8_t(c);
+}
+
+}  // namespace
+
+extern "C" {
+
+// dims[3] <- {h, w, channels}.  -20 = valid PNG but unsupported layout
+// (caller should fall back to PIL).
+int sf_png_dims(const char* path, int32_t* dims) {
+  PngInfo info;
+  int rc = parse_png(path, &info, /*want_data=*/false);
+  if (rc) return rc;
+  dims[0] = info.h;
+  dims[1] = info.w;
+  dims[2] = info.channels;
+  return 0;
+}
+
+// out: h*w*channels bytes, scanline order, native channel count.
+int sf_read_png(const char* path, uint8_t* out, int64_t capacity) {
+  PngInfo info;
+  int rc = parse_png(path, &info, /*want_data=*/true);
+  if (rc) return rc;
+  const int64_t w = info.w, h = info.h, c = info.channels;
+  if (capacity < h * w * c) return -7;
+  const int64_t stride = w * c;          // filtered scanline payload
+  std::vector<uint8_t> raw(size_t(h) * (stride + 1));
+  z_stream zs;
+  memset(&zs, 0, sizeof(zs));
+  if (inflateInit(&zs) != Z_OK) return -8;
+  zs.next_in = info.idat.data();
+  zs.avail_in = uInt(info.idat.size());
+  zs.next_out = raw.data();
+  zs.avail_out = uInt(raw.size());
+  int zrc = inflate(&zs, Z_FINISH);
+  inflateEnd(&zs);
+  if (zrc != Z_STREAM_END || zs.total_out != raw.size()) return -9;
+  // unfilter scanlines straight into `out` (prev = decoded row above)
+  for (int64_t y = 0; y < h; ++y) {
+    const uint8_t filter = raw[size_t(y) * (stride + 1)];
+    const uint8_t* src = &raw[size_t(y) * (stride + 1) + 1];
+    uint8_t* dst = out + y * stride;
+    const uint8_t* up = y ? out + (y - 1) * stride : nullptr;
+    switch (filter) {
+      case 0:
+        memcpy(dst, src, size_t(stride));
+        break;
+      case 1:
+        for (int64_t x = 0; x < stride; ++x)
+          dst[x] = uint8_t(src[x] + (x >= c ? dst[x - c] : 0));
+        break;
+      case 2:
+        if (up)
+          for (int64_t x = 0; x < stride; ++x) dst[x] = uint8_t(src[x] + up[x]);
+        else
+          memcpy(dst, src, size_t(stride));
+        break;
+      case 3:
+        for (int64_t x = 0; x < stride; ++x) {
+          int a = x >= c ? dst[x - c] : 0;
+          int b = up ? up[x] : 0;
+          dst[x] = uint8_t(src[x] + ((a + b) >> 1));
+        }
+        break;
+      case 4:
+        for (int64_t x = 0; x < stride; ++x) {
+          int a = x >= c ? dst[x - c] : 0;
+          int b = up ? up[x] : 0;
+          int cc = (up && x >= c) ? up[x - c] : 0;
+          dst[x] = uint8_t(src[x] + paeth(a, b, cc));
+        }
+        break;
+      default:
+        return -10;
+    }
+  }
   return 0;
 }
 

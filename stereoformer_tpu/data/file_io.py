@@ -15,7 +15,19 @@ import numpy as np
 
 
 def read_img(filename: str) -> np.ndarray:
-    """RGB image as float32 [H, W, 3] in 0..255 (file_io.py:11-14)."""
+    """RGB image as float32 [H, W, 3] in 0..255 (file_io.py:11-14).
+
+    PNGs decode through the native library when built (lean zlib
+    inflate + unfilter — measured 1.5× PIL on SceneFlow-size images,
+    BENCHMARKS "input pipeline"; byte-parity-tested); palette/16-bit/
+    interlaced PNGs and other formats fall back to PIL."""
+    if filename.lower().endswith(".png"):
+        from . import native
+
+        if native.available():
+            img = native.read_png_rgb(filename)
+            if img is not None:
+                return img
     from PIL import Image
 
     return np.array(Image.open(filename).convert("RGB"), dtype=np.float32)

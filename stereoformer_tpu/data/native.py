@@ -47,6 +47,11 @@ def load_library() -> Optional[ctypes.CDLL]:
         ctypes.c_int32,
     ]
     lib.sf_read_pfm_batch.restype = ctypes.c_int
+    u8p = np.ctypeslib.ndpointer(np.uint8, flags="C_CONTIGUOUS")
+    lib.sf_png_dims.argtypes = [ctypes.c_char_p, i32p]
+    lib.sf_png_dims.restype = ctypes.c_int
+    lib.sf_read_png.argtypes = [ctypes.c_char_p, u8p, ctypes.c_int64]
+    lib.sf_read_png.restype = ctypes.c_int
     _lib = lib
     return lib
 
@@ -80,6 +85,37 @@ def read_pfm_auto(path: str) -> np.ndarray:
     from .file_io import read_pfm as np_read_pfm
 
     return np_read_pfm(path)[0]
+
+
+def read_png_rgb(path: str) -> Optional[np.ndarray]:
+    """Native PNG decode → float32 RGB [H, W, 3] (PIL ``convert("RGB")``
+    semantics: gray replicated, alpha dropped).  Returns ``None`` for
+    layouts the lean decoder skips (palette, 16-bit, interlaced) — the
+    caller falls back to PIL.  Raises on real IO/decode errors."""
+    lib = load_library()
+    if lib is None:
+        return None
+    dims = np.zeros(3, np.int32)
+    rc = lib.sf_png_dims(path.encode(), dims)
+    if rc == -20:
+        return None
+    if rc:
+        raise IOError(f"sf_png_dims({path}) -> {rc}")
+    h, w, c = (int(x) for x in dims)
+    out = np.empty(h * w * c, np.uint8)
+    rc = lib.sf_read_png(path.encode(), out, out.size)
+    if rc == -20:
+        return None
+    if rc:
+        raise IOError(f"sf_read_png({path}) -> {rc}")
+    img = out.reshape(h, w, c)
+    if c == 1:
+        img = np.repeat(img, 3, axis=2)
+    elif c == 2:       # gray + alpha: PIL convert("RGB") keeps the gray
+        img = np.repeat(img[:, :, :1], 3, axis=2)
+    elif c == 4:       # RGBA: convert("RGB") drops alpha
+        img = img[:, :, :3]
+    return np.ascontiguousarray(img).astype(np.float32)
 
 
 def crop_normalize(

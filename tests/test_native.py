@@ -107,3 +107,42 @@ def test_train_transform_native_path_parity():
         assert fast[k].shape == slow[k].shape, k
         np.testing.assert_allclose(fast[k], slow[k], rtol=0, atol=2e-6,
                                    err_msg=k)
+
+
+def test_native_png_parity_and_fallback(tmp_path):
+    """sf_read_png byte-parity vs PIL.convert("RGB") for RGB, gray and
+    RGBA 8-bit PNGs; palette PNGs return None (PIL fallback), and
+    file_io.read_img routes through the native decoder transparently."""
+    import numpy as np
+    import pytest
+    from PIL import Image
+
+    from stereoformer_tpu.data import file_io, native
+
+    if not native.available():
+        pytest.skip("native IO library not built (make -C native)")
+
+    rng = np.random.RandomState(3)
+    cases = {
+        "rgb.png": Image.fromarray(
+            rng.randint(0, 255, (41, 67, 3), dtype=np.uint8)),
+        "gray.png": Image.fromarray(
+            rng.randint(0, 255, (29, 31), dtype=np.uint8), "L"),
+        "rgba.png": Image.fromarray(
+            rng.randint(0, 255, (23, 17, 4), dtype=np.uint8), "RGBA"),
+    }
+    for name, im in cases.items():
+        p = str(tmp_path / name)
+        im.save(p)
+        ref = np.array(Image.open(p).convert("RGB"), dtype=np.float32)
+        got = native.read_png_rgb(p)
+        assert got is not None and got.dtype == np.float32
+        np.testing.assert_array_equal(got, ref, err_msg=name)
+        # the production entry point routes through the same decoder
+        np.testing.assert_array_equal(file_io.read_img(p), ref)
+
+    pal = str(tmp_path / "pal.png")
+    cases["rgb.png"].convert("P").save(pal)
+    assert native.read_png_rgb(pal) is None  # unsupported -> PIL path
+    ref = np.array(Image.open(pal).convert("RGB"), dtype=np.float32)
+    np.testing.assert_array_equal(file_io.read_img(pal), ref)
