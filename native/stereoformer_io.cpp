@@ -194,7 +194,7 @@ static inline uint32_t be32(const uint8_t* p) {
 namespace {
 
 struct PngInfo {
-  int32_t w = 0, h = 0, channels = 0;
+  int32_t w = 0, h = 0, channels = 0, bitdepth = 8;
   // concatenated IDAT payload
   std::vector<uint8_t> idat;
 };
@@ -244,7 +244,11 @@ int parse_png(const char* path, PngInfo* info, bool want_data) {
       info->h = int32_t(be32(data + 4));
       int bitdepth = data[8], colortype = data[9];
       int interlace = data[12];
-      if (bitdepth != 8 || interlace != 0) return -20;
+      if (interlace != 0) return -20;
+      // 16-bit: single-channel gray only (the KITTI disparity format)
+      if (bitdepth == 16 && colortype != 0) return -20;
+      if (bitdepth != 8 && bitdepth != 16) return -20;
+      info->bitdepth = bitdepth;
       switch (colortype) {
         case 0: info->channels = 1; break;
         case 2: info->channels = 3; break;
@@ -289,6 +293,7 @@ int sf_png_dims(const char* path, int32_t* dims) {
   dims[0] = info.h;
   dims[1] = info.w;
   dims[2] = info.channels;
+  dims[3] = info.bitdepth;
   return 0;
 }
 
@@ -297,6 +302,7 @@ int sf_read_png(const char* path, uint8_t* out, int64_t capacity) {
   PngInfo info;
   int rc = parse_png(path, &info, /*want_data=*/true);
   if (rc) return rc;
+  if (info.bitdepth != 8) return -20;
   const int64_t w = info.w, h = info.h, c = info.channels;
   if (capacity < h * w * c) return -7;
   const int64_t stride = w * c;          // filtered scanline payload
@@ -350,6 +356,73 @@ int sf_read_png(const char* path, uint8_t* out, int64_t capacity) {
         return -10;
     }
   }
+  return 0;
+}
+
+
+// 16-bit grayscale PNG (the KITTI disparity encoding: uint16 / 256.0).
+// out: h*w uint16 in host byte order.
+int sf_read_png_u16(const char* path, uint16_t* out, int64_t capacity) {
+  PngInfo info;
+  int rc = parse_png(path, &info, /*want_data=*/true);
+  if (rc) return rc;
+  if (info.bitdepth != 16 || info.channels != 1) return -20;
+  const int64_t w = info.w, h = info.h;
+  if (capacity < h * w) return -7;
+  const int64_t stride = w * 2;          // bytes per filtered scanline
+  std::vector<uint8_t> raw(size_t(h) * (stride + 1));
+  z_stream zs;
+  memset(&zs, 0, sizeof(zs));
+  if (inflateInit(&zs) != Z_OK) return -8;
+  zs.next_in = info.idat.data();
+  zs.avail_in = uInt(info.idat.size());
+  zs.next_out = raw.data();
+  zs.avail_out = uInt(raw.size());
+  int zrc = inflate(&zs, Z_FINISH);
+  inflateEnd(&zs);
+  if (zrc != Z_STREAM_END || zs.total_out != raw.size()) return -9;
+  // PNG filters operate on BYTES with bpp = 2; unfilter into a byte
+  // image, then assemble big-endian samples.
+  std::vector<uint8_t> img(size_t(h) * stride);
+  const int c = 2;
+  for (int64_t y = 0; y < h; ++y) {
+    const uint8_t filter = raw[size_t(y) * (stride + 1)];
+    const uint8_t* src = &raw[size_t(y) * (stride + 1) + 1];
+    uint8_t* dst = img.data() + y * stride;
+    const uint8_t* up = y ? img.data() + (y - 1) * stride : nullptr;
+    switch (filter) {
+      case 0: memcpy(dst, src, size_t(stride)); break;
+      case 1:
+        for (int64_t x = 0; x < stride; ++x)
+          dst[x] = uint8_t(src[x] + (x >= c ? dst[x - c] : 0));
+        break;
+      case 2:
+        if (up)
+          for (int64_t x = 0; x < stride; ++x) dst[x] = uint8_t(src[x] + up[x]);
+        else
+          memcpy(dst, src, size_t(stride));
+        break;
+      case 3:
+        for (int64_t x = 0; x < stride; ++x) {
+          int a = x >= c ? dst[x - c] : 0;
+          int b = up ? up[x] : 0;
+          dst[x] = uint8_t(src[x] + ((a + b) >> 1));
+        }
+        break;
+      case 4:
+        for (int64_t x = 0; x < stride; ++x) {
+          int a = x >= c ? dst[x - c] : 0;
+          int b = up ? up[x] : 0;
+          int cc = (up && x >= c) ? up[x - c] : 0;
+          dst[x] = uint8_t(src[x] + paeth(a, b, cc));
+        }
+        break;
+      default:
+        return -10;
+    }
+  }
+  for (int64_t i = 0; i < h * w; ++i)
+    out[i] = uint16_t((uint16_t(img[2 * i]) << 8) | img[2 * i + 1]);
   return 0;
 }
 

@@ -72,6 +72,13 @@ def write_pfm(filename: str, data: np.ndarray, scale: float = 1.0) -> None:
 
 
 def _read_kitti_disp(filename: str) -> np.ndarray:
+    from . import native
+
+    if native.available():
+        # 16-bit gray decode in the native library (parity-tested)
+        arr = native.read_png_gray16(filename)
+        if arr is not None:
+            return arr.astype(np.float32) / 256.0
     from PIL import Image
 
     return (np.array(Image.open(filename), dtype=np.float32)) / 256.0

@@ -48,10 +48,13 @@ def load_library() -> Optional[ctypes.CDLL]:
     ]
     lib.sf_read_pfm_batch.restype = ctypes.c_int
     u8p = np.ctypeslib.ndpointer(np.uint8, flags="C_CONTIGUOUS")
+    u16p = np.ctypeslib.ndpointer(np.uint16, flags="C_CONTIGUOUS")
     lib.sf_png_dims.argtypes = [ctypes.c_char_p, i32p]
     lib.sf_png_dims.restype = ctypes.c_int
     lib.sf_read_png.argtypes = [ctypes.c_char_p, u8p, ctypes.c_int64]
     lib.sf_read_png.restype = ctypes.c_int
+    lib.sf_read_png_u16.argtypes = [ctypes.c_char_p, u16p, ctypes.c_int64]
+    lib.sf_read_png_u16.restype = ctypes.c_int
     _lib = lib
     return lib
 
@@ -95,13 +98,13 @@ def read_png_rgb(path: str) -> Optional[np.ndarray]:
     lib = load_library()
     if lib is None:
         return None
-    dims = np.zeros(3, np.int32)
+    dims = np.zeros(4, np.int32)
     rc = lib.sf_png_dims(path.encode(), dims)
     if rc == -20:
         return None
     if rc:
         raise IOError(f"sf_png_dims({path}) -> {rc}")
-    h, w, c = (int(x) for x in dims)
+    h, w, c = (int(x) for x in dims[:3])
     out = np.empty(h * w * c, np.uint8)
     rc = lib.sf_read_png(path.encode(), out, out.size)
     if rc == -20:
@@ -116,6 +119,31 @@ def read_png_rgb(path: str) -> Optional[np.ndarray]:
     elif c == 4:       # RGBA: convert("RGB") drops alpha
         img = img[:, :, :3]
     return np.ascontiguousarray(img).astype(np.float32)
+
+
+def read_png_gray16(path: str) -> "Optional[np.ndarray]":
+    """Native 16-bit grayscale PNG decode (the KITTI disparity encoding)
+    → uint16 [H, W]; ``None`` when the library is absent or the file is
+    not 16-bit gray (caller falls back to PIL)."""
+    lib = load_library()
+    if lib is None:
+        return None
+    dims = np.zeros(4, np.int32)
+    rc = lib.sf_png_dims(path.encode(), dims)
+    if rc == -20:
+        return None
+    if rc:
+        raise IOError(f"sf_png_dims({path}) -> {rc}")
+    h, w, c, depth = (int(x) for x in dims)
+    if depth != 16 or c != 1:
+        return None
+    out = np.empty(h * w, np.uint16)
+    rc = lib.sf_read_png_u16(path.encode(), out, out.size)
+    if rc == -20:
+        return None
+    if rc:
+        raise IOError(f"sf_read_png_u16({path}) -> {rc}")
+    return out.reshape(h, w)
 
 
 def crop_normalize(

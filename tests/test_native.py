@@ -146,3 +146,31 @@ def test_native_png_parity_and_fallback(tmp_path):
     assert native.read_png_rgb(pal) is None  # unsupported -> PIL path
     ref = np.array(Image.open(pal).convert("RGB"), dtype=np.float32)
     np.testing.assert_array_equal(file_io.read_img(pal), ref)
+
+
+def test_native_png16_kitti_disp_parity(tmp_path):
+    """16-bit gray PNG (the KITTI disparity encoding): native decode is
+    byte-exact vs PIL, and ``file_io._read_kitti_disp`` routes through
+    it (÷256 semantics unchanged)."""
+    import numpy as np
+    import pytest
+    from PIL import Image
+
+    from stereoformer_tpu.data import file_io, native
+
+    if not native.available():
+        pytest.skip("native IO library not built (make -C native)")
+
+    rng = np.random.RandomState(4)
+    arr = (rng.rand(19, 43) * 65535).astype(np.uint16)
+    p = str(tmp_path / "disp16.png")
+    Image.fromarray(arr).save(p)
+    got = native.read_png_gray16(p)
+    assert got is not None and got.dtype == np.uint16
+    np.testing.assert_array_equal(got, arr)
+    ref = np.array(Image.open(p), dtype=np.float32) / 256.0
+    np.testing.assert_array_equal(file_io._read_kitti_disp(p), ref)
+    # 8-bit RGB is not this path's job
+    p8 = str(tmp_path / "rgb.png")
+    Image.fromarray(rng.randint(0, 255, (8, 8, 3), dtype=np.uint8)).save(p8)
+    assert native.read_png_gray16(p8) is None
