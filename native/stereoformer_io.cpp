@@ -280,6 +280,68 @@ static inline uint8_t paeth(int a, int b, int c) {
   return uint8_t(c);
 }
 
+// Undo PNG scanline filters (bytewise, bpp bytes per pixel): raw holds
+// h x (1 + stride) filtered rows, out receives h x stride image bytes.
+int unfilter_scanlines(const uint8_t* raw, uint8_t* out, int64_t h,
+                       int64_t stride, int bpp) {
+  for (int64_t y = 0; y < h; ++y) {
+    const uint8_t filter = raw[size_t(y) * (stride + 1)];
+    const uint8_t* src = raw + size_t(y) * (stride + 1) + 1;
+    uint8_t* dst = out + y * stride;
+    const uint8_t* up = y ? out + (y - 1) * stride : nullptr;
+    switch (filter) {
+      case 0:
+        memcpy(dst, src, size_t(stride));
+        break;
+      case 1:
+        for (int64_t x = 0; x < stride; ++x)
+          dst[x] = uint8_t(src[x] + (x >= bpp ? dst[x - bpp] : 0));
+        break;
+      case 2:
+        if (up)
+          for (int64_t x = 0; x < stride; ++x) dst[x] = uint8_t(src[x] + up[x]);
+        else
+          memcpy(dst, src, size_t(stride));
+        break;
+      case 3:
+        for (int64_t x = 0; x < stride; ++x) {
+          int a = x >= bpp ? dst[x - bpp] : 0;
+          int b = up ? up[x] : 0;
+          dst[x] = uint8_t(src[x] + ((a + b) >> 1));
+        }
+        break;
+      case 4:
+        for (int64_t x = 0; x < stride; ++x) {
+          int a = x >= bpp ? dst[x - bpp] : 0;
+          int b = up ? up[x] : 0;
+          int cc = (up && x >= bpp) ? up[x - bpp] : 0;
+          dst[x] = uint8_t(src[x] + paeth(a, b, cc));
+        }
+        break;
+      default:
+        return -10;
+    }
+  }
+  return 0;
+}
+
+// Concatenated-IDAT -> unfiltered image bytes.
+int inflate_and_unfilter(const std::vector<uint8_t>& idat, uint8_t* out,
+                         int64_t h, int64_t stride, int bpp) {
+  std::vector<uint8_t> raw(size_t(h) * (stride + 1));
+  z_stream zs;
+  memset(&zs, 0, sizeof(zs));
+  if (inflateInit(&zs) != Z_OK) return -8;
+  zs.next_in = const_cast<uint8_t*>(idat.data());
+  zs.avail_in = uInt(idat.size());
+  zs.next_out = raw.data();
+  zs.avail_out = uInt(raw.size());
+  int zrc = inflate(&zs, Z_FINISH);
+  inflateEnd(&zs);
+  if (zrc != Z_STREAM_END || zs.total_out != raw.size()) return -9;
+  return unfilter_scanlines(raw.data(), out, h, stride, bpp);
+}
+
 }  // namespace
 
 extern "C" {
@@ -305,58 +367,7 @@ int sf_read_png(const char* path, uint8_t* out, int64_t capacity) {
   if (info.bitdepth != 8) return -20;
   const int64_t w = info.w, h = info.h, c = info.channels;
   if (capacity < h * w * c) return -7;
-  const int64_t stride = w * c;          // filtered scanline payload
-  std::vector<uint8_t> raw(size_t(h) * (stride + 1));
-  z_stream zs;
-  memset(&zs, 0, sizeof(zs));
-  if (inflateInit(&zs) != Z_OK) return -8;
-  zs.next_in = info.idat.data();
-  zs.avail_in = uInt(info.idat.size());
-  zs.next_out = raw.data();
-  zs.avail_out = uInt(raw.size());
-  int zrc = inflate(&zs, Z_FINISH);
-  inflateEnd(&zs);
-  if (zrc != Z_STREAM_END || zs.total_out != raw.size()) return -9;
-  // unfilter scanlines straight into `out` (prev = decoded row above)
-  for (int64_t y = 0; y < h; ++y) {
-    const uint8_t filter = raw[size_t(y) * (stride + 1)];
-    const uint8_t* src = &raw[size_t(y) * (stride + 1) + 1];
-    uint8_t* dst = out + y * stride;
-    const uint8_t* up = y ? out + (y - 1) * stride : nullptr;
-    switch (filter) {
-      case 0:
-        memcpy(dst, src, size_t(stride));
-        break;
-      case 1:
-        for (int64_t x = 0; x < stride; ++x)
-          dst[x] = uint8_t(src[x] + (x >= c ? dst[x - c] : 0));
-        break;
-      case 2:
-        if (up)
-          for (int64_t x = 0; x < stride; ++x) dst[x] = uint8_t(src[x] + up[x]);
-        else
-          memcpy(dst, src, size_t(stride));
-        break;
-      case 3:
-        for (int64_t x = 0; x < stride; ++x) {
-          int a = x >= c ? dst[x - c] : 0;
-          int b = up ? up[x] : 0;
-          dst[x] = uint8_t(src[x] + ((a + b) >> 1));
-        }
-        break;
-      case 4:
-        for (int64_t x = 0; x < stride; ++x) {
-          int a = x >= c ? dst[x - c] : 0;
-          int b = up ? up[x] : 0;
-          int cc = (up && x >= c) ? up[x - c] : 0;
-          dst[x] = uint8_t(src[x] + paeth(a, b, cc));
-        }
-        break;
-      default:
-        return -10;
-    }
-  }
-  return 0;
+  return inflate_and_unfilter(info.idat, out, h, w * c, int(c));
 }
 
 
@@ -369,58 +380,10 @@ int sf_read_png_u16(const char* path, uint16_t* out, int64_t capacity) {
   if (info.bitdepth != 16 || info.channels != 1) return -20;
   const int64_t w = info.w, h = info.h;
   if (capacity < h * w) return -7;
-  const int64_t stride = w * 2;          // bytes per filtered scanline
-  std::vector<uint8_t> raw(size_t(h) * (stride + 1));
-  z_stream zs;
-  memset(&zs, 0, sizeof(zs));
-  if (inflateInit(&zs) != Z_OK) return -8;
-  zs.next_in = info.idat.data();
-  zs.avail_in = uInt(info.idat.size());
-  zs.next_out = raw.data();
-  zs.avail_out = uInt(raw.size());
-  int zrc = inflate(&zs, Z_FINISH);
-  inflateEnd(&zs);
-  if (zrc != Z_STREAM_END || zs.total_out != raw.size()) return -9;
-  // PNG filters operate on BYTES with bpp = 2; unfilter into a byte
-  // image, then assemble big-endian samples.
-  std::vector<uint8_t> img(size_t(h) * stride);
-  const int c = 2;
-  for (int64_t y = 0; y < h; ++y) {
-    const uint8_t filter = raw[size_t(y) * (stride + 1)];
-    const uint8_t* src = &raw[size_t(y) * (stride + 1) + 1];
-    uint8_t* dst = img.data() + y * stride;
-    const uint8_t* up = y ? img.data() + (y - 1) * stride : nullptr;
-    switch (filter) {
-      case 0: memcpy(dst, src, size_t(stride)); break;
-      case 1:
-        for (int64_t x = 0; x < stride; ++x)
-          dst[x] = uint8_t(src[x] + (x >= c ? dst[x - c] : 0));
-        break;
-      case 2:
-        if (up)
-          for (int64_t x = 0; x < stride; ++x) dst[x] = uint8_t(src[x] + up[x]);
-        else
-          memcpy(dst, src, size_t(stride));
-        break;
-      case 3:
-        for (int64_t x = 0; x < stride; ++x) {
-          int a = x >= c ? dst[x - c] : 0;
-          int b = up ? up[x] : 0;
-          dst[x] = uint8_t(src[x] + ((a + b) >> 1));
-        }
-        break;
-      case 4:
-        for (int64_t x = 0; x < stride; ++x) {
-          int a = x >= c ? dst[x - c] : 0;
-          int b = up ? up[x] : 0;
-          int cc = (up && x >= c) ? up[x - c] : 0;
-          dst[x] = uint8_t(src[x] + paeth(a, b, cc));
-        }
-        break;
-      default:
-        return -10;
-    }
-  }
+  // filters operate on bytes with bpp = 2; big-endian sample assembly
+  std::vector<uint8_t> img(size_t(h) * w * 2);
+  rc = inflate_and_unfilter(info.idat, img.data(), h, w * 2, 2);
+  if (rc) return rc;
   for (int64_t i = 0; i < h * w; ++i)
     out[i] = uint16_t((uint16_t(img[2 * i]) << 8) | img[2 * i + 1]);
   return 0;

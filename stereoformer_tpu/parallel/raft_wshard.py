@@ -101,7 +101,12 @@ def _make_shard_body(
     which is exactly the wide-pair fine-tune use case this driver
     exists for (train-mode batch statistics under W-sharding would need
     the same masked psum the sample-local norms get; documented
-    unsupported in nn/raft/encoders._Norm)."""
+    unsupported in nn/raft/encoders._Norm).
+
+    Composes with ``RAFTStereo(remat_update=True)`` (the per-iteration
+    nn.remat memory knob): the global-coordinate ``interp_fn`` closure
+    rides through as a checkpoint static argument — verified eval+train
+    on the virtual mesh."""
     assert model.n_gru_layers == 3, "sharded driver covers the 3-level cascade"
     n = mesh.shape[axis_name]
     f = 2 ** model.downsample                       # finest feature scale
