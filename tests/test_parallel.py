@@ -717,3 +717,33 @@ def test_wsharded_raft_2d_mesh():
         num += float(jnp.linalg.norm(a - b)) ** 2
         den += float(jnp.linalg.norm(a)) ** 2
     assert (num / den) ** 0.5 < 5e-3, (num / den) ** 0.5
+
+
+def test_wsharded_model_eval_cross_attention():
+    """Family C under the width mesh: CrossAttentionStereo's banded
+    epipolar attention has bounded leftward reach (D−1 columns, like the
+    correlation band), so the generic overlap-and-discard driver
+    (`make_wsharded_model_eval`) covers it unchanged — all three
+    families now run W-sharded."""
+    from jax.sharding import Mesh
+    from stereoformer_tpu.models import get_model
+    from stereoformer_tpu.parallel.wshard import make_wsharded_model_eval
+
+    model = get_model("CrossAttentionStereo")
+    B, H, W = 1, 32, 256
+    rng = np.random.RandomState(2)
+    left = jnp.asarray(rng.rand(B, H, W, 3).astype(np.float32))
+    right = jnp.asarray(rng.rand(B, H, W, 3).astype(np.float32))
+    variables = model.init(jax.random.PRNGKey(0), left, right, iters=1,
+                           train=False)
+
+    def apply_fn(l, r):
+        return model.apply(variables, l, r, iters=2, train=False)[
+            "disparities"][-1]
+
+    ref = np.asarray(apply_fn(left, right))
+    mesh = Mesh(np.asarray(jax.devices()[:2]), ("data",))
+    run = make_wsharded_model_eval(mesh, apply_fn, out_width=W, margin=96)
+    out = run(left, right)
+    assert len(out.addressable_shards) == 2
+    np.testing.assert_allclose(np.asarray(out), ref, atol=2e-3, rtol=0)
