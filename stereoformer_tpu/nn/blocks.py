@@ -61,7 +61,15 @@ class FusedConv(nn.Module):
     auto_max_c: int = 96
 
     @nn.compact
-    def __call__(self, x, residual=None, prologue=None):
+    def __call__(self, x, residual=None, prologue=None,
+                 with_stats: bool = False):
+        # with_stats: additionally return the output's per-sample channel
+        # moments (Σy, Σy²) [B, Co] f32, emitted by the kernel while the
+        # output tile is still in VMEM — the consumer norm's stats pass
+        # (a full HBM re-read of y) is deleted.  FORWARD-ONLY (no VJP);
+        # returns (y, None) when the call routes to XLA so callers can
+        # fall back.  Gated on eval at the call sites
+        # (RaftResidualBlock: not train).
         k = self.kernel_size
         kernel = self.param(
             "kernel", self.kernel_init, (k, k, x.shape[-1], self.features)
@@ -93,11 +101,39 @@ class FusedConv(nn.Module):
             and all(isinstance(d, int) for d in x.shape)
         )
         if use_pallas:
-            from ..ops.pallas.conv2d import conv2d_fused, conv2d_fused_prologue
+            from ..ops.pallas.conv2d import (
+                conv2d_fused,
+                conv2d_fused_prologue,
+                conv2d_fused_prologue_stats,
+                conv2d_fused_stats,
+            )
 
+            if with_stats:
+                assert residual is None
+                if prologue is not None:
+                    y, s1, s2 = conv2d_fused_prologue_stats(
+                        x, kernel, bias, s, t, self.relu)
+                else:
+                    y, s1, s2 = conv2d_fused_stats(x, kernel, bias, self.relu)
+                return y, (s1, s2)
             if prologue is not None:
                 return conv2d_fused_prologue(x, kernel, bias, s, t, self.relu)
             return conv2d_fused(x, kernel, bias, residual, self.relu)
+        if with_stats:
+            # XLA fallback: no kernel-emitted moments — caller computes
+            # stats the normal way
+            if prologue is not None:
+                x = jnp.maximum(
+                    x.astype(jnp.float32) * s[:, None, None, :]
+                    + t[:, None, None, :], 0.0,
+                ).astype(dt)
+            y = jax.lax.conv_general_dilated(
+                x, kernel, (1, 1), [((k - 1) // 2,) * 2] * 2,
+                dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            ) + bias
+            if residual is not None:
+                y = y + residual
+            return (nn.relu(y) if self.relu else y), None
         if prologue is not None:
             x = jnp.maximum(
                 x.astype(jnp.float32) * s[:, None, None, :]

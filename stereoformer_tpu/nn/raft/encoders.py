@@ -18,6 +18,7 @@ import flax.linen as nn
 from ..conv import Conv
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from ..blocks import FusedConv
 
@@ -86,11 +87,21 @@ class GroupNormNHWC(nn.Module):
     axis_name: object = None
 
     @nn.compact
-    def __call__(self, x, stats_only: bool = False, keep_masks=None):
+    def __call__(self, x, stats_only: bool = False, keep_masks=None,
+                 precomputed_sums=None):
         C = x.shape[-1]
         G = self.num_groups
         assert C % G == 0, (C, G)
         spatial = tuple(range(1, x.ndim - 1))
+        if precomputed_sums is not None:
+            # (Σx, Σx²) [N, C] f32 emitted by the producer conv kernel
+            # (ops/pallas/conv2d.conv2d_fused_stats) — the stats pass
+            # over x is skipped entirely.  Unsupported together with
+            # masked/sharded moments (the kernel sums every column).
+            assert keep_masks is None and self.axis_name is None
+            s1, s2 = (p.astype(jnp.float32) for p in precomputed_sums)
+            n_kept = float(np.prod([x.shape[d] for d in spatial]))
+            return self._apply(x, s1 / n_kept, s2 / n_kept, stats_only)
         # Moments as dot_generals, not reduces.  A spatial `reduce` of a
         # conv-layout activation makes XLA materialise an f32 copy in the
         # reduce's preferred layout (571 MB + a layout copy per norm at
@@ -137,8 +148,14 @@ class GroupNormNHWC(nn.Module):
             s1 = jax.lax.psum(s1, self.axis_name)
             s2 = jax.lax.psum(s2, self.axis_name)
             n_kept = jax.lax.psum(n_kept, self.axis_name)
-        s1 = s1 / n_kept
-        s2 = s2 / n_kept
+        return self._apply(x, s1 / n_kept, s2 / n_kept, stats_only)
+
+    def _apply(self, x, s1, s2, stats_only: bool):
+        """Moments [N, C] (already count-normalised) → affine form or the
+        applied norm; shared by the einsum-stats and the precomputed-
+        (conv-kernel-emitted) paths."""
+        C = x.shape[-1]
+        G = self.num_groups
         m1 = s1.reshape(-1, G, C // G).mean(-1)              # [N, G]
         m2 = s2.reshape(-1, G, C // G).mean(-1)
         var = jnp.maximum(m2 - jnp.square(m1), 0.0)
@@ -212,7 +229,7 @@ class _Norm(nn.Module):
 
     @nn.compact
     def __call__(self, x, train: bool = True, stats_only: bool = False,
-                 wshard: WShardCtx | None = None):
+                 wshard: WShardCtx | None = None, precomputed_sums=None):
         # wshard: W-sharded eval — the sample-local norms (group/instance)
         # psum margin-masked moments over the mesh axis so their
         # statistics are global-exact; eval BatchNorm is already a fixed
@@ -224,7 +241,10 @@ class _Norm(nn.Module):
             return GroupNormNHWC(
                 num_groups=self.features // 8, dtype=self.dtype,
                 axis_name=axis, name="GroupNorm_0",
-            )(x, stats_only=stats_only, keep_masks=masks)
+            )(x, stats_only=stats_only, keep_masks=masks,
+              precomputed_sums=precomputed_sums)
+        assert precomputed_sums is None or self.kind == "instance", (
+            self.kind)
         if self.kind == "batch":
             assert wshard is None or not train, (
                 "train-mode BatchNorm under W-sharding is unsupported "
@@ -246,7 +266,8 @@ class _Norm(nn.Module):
                 dtype=self.dtype,
                 axis_name=axis,
                 name="GroupNorm_0",
-            )(x, stats_only=stats_only, keep_masks=masks)
+            )(x, stats_only=stats_only, keep_masks=masks,
+              precomputed_sums=precomputed_sums)
         if stats_only:
             return None
         return x
@@ -262,12 +283,31 @@ class RaftResidualBlock(nn.Module):
     def __call__(self, x, train: bool = True,
                  wshard: WShardCtx | None = None):
         dt = self.dtype
+        # Kernel-emitted norm moments (round 4): at EVAL, with sample-
+        # local norms and no W-sharding, the fused convs also emit their
+        # output's (Σy, Σy²) while the tile is in VMEM, deleting both
+        # norm stats passes (full HBM re-reads of y — measured 0.75 ms
+        # per full-res instance-norm site in RAFT eval).  The stats
+        # entries have no VJP, hence the `not train` gate; parity-tested
+        # (tests/test_pallas_conv2d.py, tests/test_raft_stereo.py).
+        import os
+
+        fuse_stats = (
+            not train and wshard is None
+            and self.norm in ("group", "instance")
+            and os.environ.get("STEREOFORMER_STATS_FUSION", "1") != "0"
+        )
         # stride-1 3x3 convs route to the fused Pallas kernel on TPU
         # (FusedConv keeps nn.Conv's param tree; explicit names preserve
         # the auto-assigned Conv_0/Conv_1 so checkpoints restore as-is)
+        sums1 = None
         if self.stride == 1:
-            y = FusedConv(self.features, 3, kernel_init=he_out(), dtype=dt,
-                          name="Conv_0")(x)
+            conv1 = FusedConv(self.features, 3, kernel_init=he_out(),
+                              dtype=dt, name="Conv_0")
+            if fuse_stats:
+                y, sums1 = conv1(x, with_stats=True)
+            else:
+                y = conv1(x)
         else:
             y = Conv(self.features, (3, 3), strides=self.stride, padding=1,
                         kernel_init=he_out(), dtype=dt, name="Conv_0")(x)
@@ -279,14 +319,20 @@ class RaftResidualBlock(nn.Module):
         # (batch-stats computation + running-average updates stay on
         # the unfused path).
         norm1 = _Norm(self.norm, self.features, dt)
-        st = norm1(y, train, stats_only=True, wshard=wshard)
+        st = norm1(y, train, stats_only=True, wshard=wshard,
+                   precomputed_sums=sums1)
         conv2 = FusedConv(self.features, 3, kernel_init=he_out(), dtype=dt,
                           name="Conv_1")
+        norm2 = _Norm(self.norm, self.features, dt)
+        sums2 = None
         if st is not None:
-            y = conv2(y, prologue=st)
+            if fuse_stats:
+                y, sums2 = conv2(y, prologue=st, with_stats=True)
+            else:
+                y = conv2(y, prologue=st)
         else:
             y = conv2(nn.relu(norm1(y, train, wshard=wshard)))
-        y = _Norm(self.norm, self.features, dt)(y, train, wshard=wshard)
+        y = norm2(y, train, wshard=wshard, precomputed_sums=sums2)
         y = nn.relu(y)
         if self.stride != 1 or x.shape[-1] != self.features:
             x = Conv(self.features, (1, 1), strides=self.stride,

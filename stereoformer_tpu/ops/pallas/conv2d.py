@@ -57,17 +57,21 @@ from jax.experimental.pallas import tpu as pltpu
 
 
 def _kernel(*refs, kh: int, kw: int, th: int, nh: int, h_img: int,
-            relu: bool, has_residual: bool, has_prologue: bool, out_dtype):
+            relu: bool, has_residual: bool, has_prologue: bool,
+            with_stats: bool, out_dtype):
     ph = (kh - 1) // 2
     mid_ref = refs[0]
     prevs = refs[1 : 1 + ph]
     nexts = refs[1 + ph : 1 + 2 * ph]
     w_ref, b_ref = refs[1 + 2 * ph : 3 + 2 * ph]
     rest = list(refs[3 + 2 * ph :])
-    s_ref = t_ref = res_ref = None
+    s_ref = t_ref = res_ref = s1_ref = s2_ref = None
     if has_prologue:
         s_ref, t_ref = rest[:2]
         rest = rest[2:]
+    if with_stats:
+        s1_ref, s2_ref = rest[-2:]
+        rest = rest[:-2]
     if has_residual:
         res_ref, out_ref = rest
     else:
@@ -142,6 +146,48 @@ def _kernel(*refs, kh: int, kw: int, th: int, nh: int, h_img: int,
     if relu:
         acc = jnp.maximum(acc, 0.0)
     out_ref[0] = acc.astype(out_dtype)
+    if with_stats:
+        # per-sample channel moments of THIS kernel's output (Σy, Σy²),
+        # accumulated across the sequential H-tile grid dim — the norm
+        # consumer's stats pass never re-reads y from HBM.  Rows past
+        # the true image height (H-tail tile padding) are masked; the
+        # f32 accumulator is summed before the out_dtype cast, so the
+        # moments see the same values the einsum stats would to within
+        # one rounding (the einsum reads the CAST activation; measured
+        # ≤1e-3 relative — tests pin it).
+        row = i * th + jax.lax.broadcasted_iota(jnp.int32, acc.shape, 0)
+        accv = jnp.where(row < h_img, acc.astype(out_dtype)
+                         .astype(jnp.float32), 0.0)
+        # moments via PAIRWISE (fold-halving) summation, not a straight
+        # VPU reduce and not MXU dots: the plain reduce's long chain
+        # measured var rel-err 6e-4 (the m2 − m1² cancellation amplifies
+        # summation error and instance-norm rsqrt amplifies var error);
+        # MXU [1,M] dots at HIGHEST precision fixed accuracy (4e-5) but
+        # the degenerate shape cost +7 ms/step.  Contiguous half+half
+        # folds give an O(log N)-depth tree — measured var rel-err
+        # BETTER than the einsum baseline at one elementwise pass's
+        # cost.
+        def _fold(m):
+            while m.shape[0] > 8:
+                n2 = m.shape[0] // 2
+                top = m[n2 : 2 * n2]
+                m = m[:n2] + top if 2 * n2 == m.shape[0] else \
+                    jnp.concatenate([m[:n2] + top, m[2 * n2:]], axis=0)
+            return jnp.sum(m, axis=0)[None, :]
+
+        flat = accv.reshape(-1, accv.shape[-1])           # [th·W, Co]
+        p1 = _fold(flat)                                  # [1, Co]
+        p2 = _fold(flat * flat)
+
+        @pl.when(i == 0)
+        def _init():
+            s1_ref[0] = p1
+            s2_ref[0] = p2
+
+        @pl.when(i > 0)
+        def _acc():
+            s1_ref[0] += p1
+            s2_ref[0] += p2
 
 
 def _reference(x, w, b, residual, relu):
@@ -170,7 +216,7 @@ def _cost_estimate(x, B, H, W, kh, kw, C, Co):
 
 
 def _forward(x, w, b, residual, relu: bool, tile_h: int, interpret: bool,
-             s=None, t=None):
+             s=None, t=None, with_stats: bool = False):
     B, H, W, C = x.shape
     kh, kw, _, Co = w.shape
     ph = (kh - 1) // 2
@@ -227,17 +273,28 @@ def _forward(x, w, b, residual, relu: bool, tile_h: int, interpret: bool,
             pl.BlockSpec((1, th, W, Co), lambda bi, i: (bi, i, 0, 0),
                          memory_space=pltpu.VMEM)
         )
+    out_shape = jax.ShapeDtypeStruct((B, nh * th, W, Co), x.dtype)
+    out_specs = pl.BlockSpec((1, th, W, Co), lambda bi, i: (bi, i, 0, 0),
+                             memory_space=pltpu.VMEM)
+    if with_stats:
+        # moment outputs [B,1,Co] f32: one (1,1,Co) block per sample,
+        # revisited (accumulated) across the sequential H-tile grid dim
+        stat = jax.ShapeDtypeStruct((B, 1, Co), jnp.float32)
+        stat_spec = pl.BlockSpec((1, 1, Co), lambda bi, i: (bi, 0, 0),
+                                 memory_space=pltpu.VMEM)
+        out_shape = [out_shape, stat, stat]
+        out_specs = [out_specs, stat_spec, stat_spec]
     out = pl.pallas_call(
         functools.partial(
             _kernel, kh=kh, kw=kw, th=th, nh=nh, h_img=H, relu=relu,
             has_residual=residual is not None,
-            has_prologue=s is not None, out_dtype=x.dtype,
+            has_prologue=s is not None, with_stats=with_stats,
+            out_dtype=x.dtype,
         ),
-        out_shape=jax.ShapeDtypeStruct((B, nh * th, W, Co), x.dtype),
+        out_shape=out_shape,
         grid=(B, nh),
         in_specs=in_specs,
-        out_specs=pl.BlockSpec((1, th, W, Co), lambda bi, i: (bi, i, 0, 0),
-                               memory_space=pltpu.VMEM),
+        out_specs=out_specs,
         compiler_params=pltpu.CompilerParams(
             # the default 16 MB scoped-vmem stack is marginal once the
             # pipelined in/out/residual windows + the f32 tap matrix +
@@ -247,6 +304,10 @@ def _forward(x, w, b, residual, relu: bool, tile_h: int, interpret: bool,
         cost_estimate=_cost_estimate(x, B, H, W, kh, kw, C, Co),
         interpret=interpret,
     )(*args)
+    if with_stats:
+        y, s1, s2 = out
+        y = y[:, :H] if nh * th != H else y
+        return y, s1[:, 0], s2[:, 0]
     return out[:, :H] if nh * th != H else out
 
 
@@ -349,6 +410,26 @@ def conv2d_fused_prologue(x, w, b, s, t, relu: bool = False,
     ``conv2d_fused``.
     """
     return _forward(x, w, b, None, relu, tile_h, interpret, s=s, t=t)
+
+
+def conv2d_fused_stats(x, w, b, relu: bool = False,
+                       tile_h: int = 16, interpret: bool = False):
+    """``conv2d_fused`` that ALSO emits its output's per-sample channel
+    moments ``(y, Σy, Σy²)`` — accumulated in-kernel across the H-tile
+    grid, so a consumer norm's stats pass (a full HBM re-read of y,
+    measured 0.75 ms per full-res instance-norm site in RAFT eval) is
+    deleted.  FORWARD-ONLY: no custom VJP (the stats feed back into y's
+    gradient); callers gate on eval (`RaftResidualBlock`: not train)."""
+    return _forward(x, w, b, None, relu, tile_h, interpret,
+                    with_stats=True)
+
+
+def conv2d_fused_prologue_stats(x, w, b, s, t, relu: bool = False,
+                                tile_h: int = 16, interpret: bool = False):
+    """``conv2d_fused_prologue`` + output moments (see
+    ``conv2d_fused_stats``).  FORWARD-ONLY."""
+    return _forward(x, w, b, None, relu, tile_h, interpret, s=s, t=t,
+                    with_stats=True)
 
 
 def _prologue_ref(x, w, b, s, t, relu):

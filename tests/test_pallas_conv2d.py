@@ -193,3 +193,51 @@ def test_conv2d_fused_shape_fuzz():
             err_msg=f"trial {trial}: kh={kh} c={c} co={co} h={h} w={w} "
                     f"relu={relu} th={th}",
         )
+
+
+def test_conv2d_fused_stats_parity():
+    """The kernel-emitted output moments (Σy, Σy²) must match the
+    reference conv's moments — incl. the H-tail tile (rows past H are
+    masked out of the sums) and the prologue variant."""
+    import numpy as np
+    import jax
+    import jax.numpy as jnp
+
+    from stereoformer_tpu.ops.pallas.conv2d import (
+        _prologue_ref,
+        _reference,
+        conv2d_fused_prologue_stats,
+        conv2d_fused_stats,
+    )
+
+    rng = np.random.RandomState(0)
+    for H, W, C, Co, relu in ((19, 40, 24, 32, False), (16, 24, 16, 16, True)):
+        x = jnp.asarray(rng.randn(2, H, W, C).astype(np.float32))
+        w = jnp.asarray((rng.randn(3, 3, C, Co) * 0.2).astype(np.float32))
+        b = jnp.asarray(rng.randn(Co).astype(np.float32))
+        ref = _reference(x, w, b, None, relu)
+        y, s1, s2 = conv2d_fused_stats(x, w, b, relu, tile_h=8,
+                                       interpret=True)
+        np.testing.assert_allclose(np.asarray(y), np.asarray(ref),
+                                   rtol=1e-5, atol=1e-5)
+        rf = np.asarray(ref, np.float64)
+        np.testing.assert_allclose(np.asarray(s1), rf.sum(axis=(1, 2)),
+                                   rtol=1e-4, atol=1e-3)
+        np.testing.assert_allclose(np.asarray(s2), (rf ** 2).sum(axis=(1, 2)),
+                                   rtol=1e-4, atol=1e-3)
+
+    x = jnp.asarray(rng.randn(2, 17, 32, 16).astype(np.float32))
+    w = jnp.asarray((rng.randn(3, 3, 16, 16) * 0.2).astype(np.float32))
+    b = jnp.asarray(rng.randn(16).astype(np.float32))
+    s = jnp.asarray(rng.rand(2, 16).astype(np.float32) + 0.5)
+    t = jnp.asarray(rng.randn(2, 16).astype(np.float32))
+    ref = _prologue_ref(x, w, b, s, t, False)
+    y, s1, s2 = conv2d_fused_prologue_stats(x, w, b, s, t, False,
+                                            tile_h=8, interpret=True)
+    np.testing.assert_allclose(np.asarray(y), np.asarray(ref),
+                               rtol=1e-5, atol=1e-5)
+    rf = np.asarray(ref, np.float64)
+    np.testing.assert_allclose(np.asarray(s1), rf.sum(axis=(1, 2)),
+                               rtol=1e-4, atol=1e-3)
+    np.testing.assert_allclose(np.asarray(s2), (rf ** 2).sum(axis=(1, 2)),
+                               rtol=1e-4, atol=1e-3)

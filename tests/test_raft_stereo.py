@@ -202,3 +202,35 @@ def test_remat_update_knob_cli_plumbing():
     )
     with pytest.raises(AssertionError):
         t2._build_net()
+
+
+def test_groupnorm_precomputed_sums_parity():
+    """GroupNormNHWC fed kernel-style precomputed (Σx, Σx²) must equal
+    the einsum-stats path — full apply, stats_only affine form, and the
+    instance-norm configuration."""
+    import numpy as np
+    import jax
+    import jax.numpy as jnp
+
+    from stereoformer_tpu.nn.raft.encoders import GroupNormNHWC
+
+    rng = np.random.RandomState(8)
+    x = jnp.asarray(rng.randn(3, 6, 10, 16).astype(np.float32))
+    s1 = jnp.sum(x, axis=(1, 2)).astype(jnp.float32)
+    s2 = jnp.sum(jnp.square(x), axis=(1, 2)).astype(jnp.float32)
+
+    for groups, kw in ((4, {}), (16, {"use_bias": False,
+                                      "use_scale": False})):
+        mod = GroupNormNHWC(num_groups=groups, **kw)
+        v = mod.init(jax.random.PRNGKey(0), x)
+        want = mod.apply(v, x)
+        got = mod.apply(v, x, precomputed_sums=(s1, s2))
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   rtol=1e-5, atol=1e-5)
+        ws, wt = mod.apply(v, x, stats_only=True)
+        gs, gt = mod.apply(v, x, stats_only=True,
+                           precomputed_sums=(s1, s2))
+        np.testing.assert_allclose(np.asarray(gs), np.asarray(ws),
+                                   rtol=1e-5, atol=1e-5)
+        np.testing.assert_allclose(np.asarray(gt), np.asarray(wt),
+                                   rtol=1e-5, atol=1e-5)
