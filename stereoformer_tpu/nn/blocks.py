@@ -66,10 +66,11 @@ class FusedConv(nn.Module):
         # with_stats: additionally return the output's per-sample channel
         # moments (Σy, Σy²) [B, Co] f32, emitted by the kernel while the
         # output tile is still in VMEM — the consumer norm's stats pass
-        # (a full HBM re-read of y) is deleted.  FORWARD-ONLY (no VJP);
-        # returns (y, None) when the call routes to XLA so callers can
-        # fall back.  Gated on eval at the call sites
-        # (RaftResidualBlock: not train).
+        # (a full HBM re-read of y) is deleted.  Differentiable (the
+        # moments' cotangents fold into the output cotangent inside the
+        # custom VJP); returns (y, None) when the call routes to XLA so
+        # callers can fall back.  Policy (eval default-on, train opt-in)
+        # lives at the call sites (RaftResidualBlock).
         k = self.kernel_size
         kernel = self.param(
             "kernel", self.kernel_init, (k, k, x.shape[-1], self.features)

@@ -283,19 +283,27 @@ class RaftResidualBlock(nn.Module):
     def __call__(self, x, train: bool = True,
                  wshard: WShardCtx | None = None):
         dt = self.dtype
-        # Kernel-emitted norm moments (round 4): at EVAL, with sample-
-        # local norms and no W-sharding, the fused convs also emit their
-        # output's (Σy, Σy²) while the tile is in VMEM, deleting both
-        # norm stats passes (full HBM re-reads of y — measured 0.75 ms
-        # per full-res instance-norm site in RAFT eval).  The stats
-        # entries have no VJP, hence the `not train` gate; parity-tested
-        # (tests/test_pallas_conv2d.py, tests/test_raft_stereo.py).
+        # Kernel-emitted norm moments (round 4): with sample-local norms
+        # and no W-sharding, the fused convs also emit their output's
+        # (Σy, Σy²) while the tile is in VMEM, deleting both norm stats
+        # passes (full HBM re-reads of y — measured 0.75 ms per full-res
+        # instance-norm site, RAFT eval 118.3 → 114.7 ms); value + grad
+        # parity-tested (tests/test_pallas_conv2d.py,
+        # tests/test_raft_stereo.py).
         import os
 
-        fuse_stats = (
-            not train and wshard is None
-            and self.norm in ("group", "instance")
-            and os.environ.get("STEREOFORMER_STATS_FUSION", "1") != "0"
+        # The stats entries are differentiable (custom VJP folds the
+        # moment cotangents into the output cotangent: g = ȳ+s̄1+2y·s̄2),
+        # so the fusion engages in BOTH modes — eval measured −3.0%
+        # (RAFT 118.3 → 114.7 ms), train −1.1% (325.7 → 322.1 ms/step,
+        # 300-step convergence checked).  Env escapes for A/B:
+        # STEREOFORMER_STATS_FUSION=0 (eval), _TRAIN=0 (train).
+        fuse_stats = wshard is None and self.norm in ("group", "instance") and (
+            (not train
+             and os.environ.get("STEREOFORMER_STATS_FUSION", "1") != "0")
+            or (train
+                and os.environ.get("STEREOFORMER_STATS_FUSION_TRAIN", "1")
+                != "0")
         )
         # stride-1 3x3 convs route to the fused Pallas kernel on TPU
         # (FusedConv keeps nn.Conv's param tree; explicit names preserve

@@ -412,24 +412,71 @@ def conv2d_fused_prologue(x, w, b, s, t, relu: bool = False,
     return _forward(x, w, b, None, relu, tile_h, interpret, s=s, t=t)
 
 
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5))
 def conv2d_fused_stats(x, w, b, relu: bool = False,
                        tile_h: int = 16, interpret: bool = False):
     """``conv2d_fused`` that ALSO emits its output's per-sample channel
     moments ``(y, Σy, Σy²)`` — accumulated in-kernel across the H-tile
     grid, so a consumer norm's stats pass (a full HBM re-read of y,
     measured 0.75 ms per full-res instance-norm site in RAFT eval) is
-    deleted.  FORWARD-ONLY: no custom VJP (the stats feed back into y's
-    gradient); callers gate on eval (`RaftResidualBlock`: not train)."""
+    deleted.  Differentiable: the moments' cotangents fold into the
+    output cotangent elementwise (``g = ȳ + s̄1 + 2y·s̄2``) before the
+    standard hand-written backward (grad-parity-tested)."""
     return _forward(x, w, b, None, relu, tile_h, interpret,
                     with_stats=True)
 
 
+def _stats_total_cotangent(y, cot):
+    gy, gs1, gs2 = cot
+    g = (gy.astype(jnp.float32)
+         + gs1.astype(jnp.float32)[:, None, None, :]
+         + 2.0 * y.astype(jnp.float32)
+         * gs2.astype(jnp.float32)[:, None, None, :])
+    return g.astype(gy.dtype)
+
+
+def _stats_fwd(x, w, b, relu, tile_h, interpret):
+    out = conv2d_fused_stats(x, w, b, relu, tile_h, interpret)
+    return out, (x, w, b, out[0])
+
+
+def _stats_bwd(relu, tile_h, interpret, res, cot):
+    x, w, b, y = res
+    g = _stats_total_cotangent(y, cot)
+    # same backward as conv2d_fused (no residual); the relu mask applies
+    # to the TOTAL cotangent (at y == 0, dΣy/dpre and dΣy²/dpre are 0
+    # through the same mask)
+    dx, dw, db, _ = _bwd(relu, tile_h, interpret,
+                         (x, w, b, y if relu else None, False), g)
+    return dx, dw, db
+
+
+conv2d_fused_stats.defvjp(_stats_fwd, _stats_bwd)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6, 7))
 def conv2d_fused_prologue_stats(x, w, b, s, t, relu: bool = False,
                                 tile_h: int = 16, interpret: bool = False):
     """``conv2d_fused_prologue`` + output moments (see
-    ``conv2d_fused_stats``).  FORWARD-ONLY."""
+    ``conv2d_fused_stats``); differentiable the same way."""
     return _forward(x, w, b, None, relu, tile_h, interpret, s=s, t=t,
                     with_stats=True)
+
+
+def _pstats_fwd(x, w, b, s, t, relu, tile_h, interpret):
+    out = conv2d_fused_prologue_stats(x, w, b, s, t, relu, tile_h,
+                                      interpret)
+    return out, (x, w, b, s, t, out[0])
+
+
+def _pstats_bwd(relu, tile_h, interpret, res, cot):
+    x, w, b, s, t, y = res
+    g = _stats_total_cotangent(y, cot)
+    return _prologue_bwd(relu, tile_h, interpret,
+                         (x, w, b, s, t, y if relu else None), g)
+
+
+conv2d_fused_prologue_stats.defvjp(_pstats_fwd, _pstats_bwd)
 
 
 def _prologue_ref(x, w, b, s, t, relu):

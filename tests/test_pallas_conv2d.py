@@ -241,3 +241,65 @@ def test_conv2d_fused_stats_parity():
                                rtol=1e-4, atol=1e-3)
     np.testing.assert_allclose(np.asarray(s2), (rf ** 2).sum(axis=(1, 2)),
                                rtol=1e-4, atol=1e-3)
+
+
+def test_conv2d_fused_stats_grad_parity():
+    """The stats entries' custom VJP: gradients of a loss using (y, Σy,
+    Σy²) must match autodiff of the reference formulation — the moment
+    cotangents fold into the output cotangent (g = ȳ + s̄1 + 2y·s̄2)
+    before the standard backward.  Covers relu on/off and the prologue
+    variant."""
+    import numpy as np
+    import jax
+    import jax.numpy as jnp
+
+    from stereoformer_tpu.ops.pallas.conv2d import (
+        _prologue_ref,
+        _reference,
+        conv2d_fused_prologue_stats,
+        conv2d_fused_stats,
+    )
+
+    rng = np.random.RandomState(1)
+    B, H, W, C, Co = 2, 13, 24, 16, 16
+    x = jnp.asarray(rng.randn(B, H, W, C).astype(np.float32))
+    w = jnp.asarray((rng.randn(3, 3, C, Co) * 0.2).astype(np.float32))
+    b = jnp.asarray(rng.randn(Co).astype(np.float32))
+    c1 = jnp.asarray(rng.randn(B, Co).astype(np.float32))
+    c2 = jnp.asarray(rng.randn(B, Co).astype(np.float32))
+
+    for relu in (False, True):
+        def loss_fused(x_, w_, b_):
+            y, s1, s2 = conv2d_fused_stats(x_, w_, b_, relu, 8, True)
+            return (jnp.sum(jnp.sin(y)) + jnp.sum(s1 * c1)
+                    + jnp.sum(s2 * c2))
+
+        def loss_ref(x_, w_, b_):
+            y = _reference(x_, w_, b_, None, relu)
+            return (jnp.sum(jnp.sin(y)) + jnp.sum(jnp.sum(y, (1, 2)) * c1)
+                    + jnp.sum(jnp.sum(jnp.square(y), (1, 2)) * c2))
+
+        gf = jax.grad(loss_fused, (0, 1, 2))(x, w, b)
+        gr = jax.grad(loss_ref, (0, 1, 2))(x, w, b)
+        for a, r in zip(gf, gr):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(r),
+                                       rtol=2e-4, atol=2e-3)
+
+    s = jnp.asarray((rng.rand(B, C) + 0.5).astype(np.float32))
+    t = jnp.asarray(rng.randn(B, C).astype(np.float32))
+
+    def ploss_fused(x_, w_, b_, s_, t_):
+        y, s1, s2 = conv2d_fused_prologue_stats(x_, w_, b_, s_, t_,
+                                                False, 8, True)
+        return jnp.sum(jnp.sin(y)) + jnp.sum(s1 * c1) + jnp.sum(s2 * c2)
+
+    def ploss_ref(x_, w_, b_, s_, t_):
+        y = _prologue_ref(x_, w_, b_, s_, t_, False)
+        return (jnp.sum(jnp.sin(y)) + jnp.sum(jnp.sum(y, (1, 2)) * c1)
+                + jnp.sum(jnp.sum(jnp.square(y), (1, 2)) * c2))
+
+    gf = jax.grad(ploss_fused, (0, 1, 2, 3, 4))(x, w, b, s, t)
+    gr = jax.grad(ploss_ref, (0, 1, 2, 3, 4))(x, w, b, s, t)
+    for a, r in zip(gf, gr):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(r),
+                                   rtol=2e-4, atol=2e-3)
