@@ -240,8 +240,17 @@ int parse_png(const char* path, PngInfo* info, bool want_data) {
     }
     if (!memcmp(type, "IHDR", 4)) {
       if (len != 13) return -5;
-      info->w = int32_t(be32(data));
-      info->h = int32_t(be32(data + 4));
+      uint32_t w32 = be32(data), h32 = be32(data + 4);
+      // Bounds: reject dims that overflow int32 and decompression-bomb
+      // sized images (h*w*channels capped at 2^31 below, channels<=4 so
+      // 2^29 pixels) — return -20 so callers fall back to PIL, which has
+      // its own bomb guard.
+      if (w32 == 0 || h32 == 0 || w32 > 0x7fffffffu || h32 > 0x7fffffffu ||
+          uint64_t(w32) * uint64_t(h32) > (uint64_t(1) << 29)) {
+        return -20;
+      }
+      info->w = int32_t(w32);
+      info->h = int32_t(h32);
       int bitdepth = data[8], colortype = data[9];
       int interlace = data[12];
       if (interlace != 0) return -20;

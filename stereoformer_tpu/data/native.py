@@ -90,27 +90,46 @@ def read_pfm_auto(path: str) -> np.ndarray:
     return np_read_pfm(path)[0]
 
 
+def _png_fallback(path: str, call: str, rc: int) -> None:
+    """Any native decode failure falls back to PIL (return ``None`` at the
+    call site) — PIL may still tolerate a truncated/corrupt file the lean
+    decoder rejects.  Set ``STEREOFORMER_NATIVE_STRICT=1`` to raise
+    instead (debugging the native decoder itself)."""
+    if os.environ.get("STEREOFORMER_NATIVE_STRICT", "0") == "1":
+        raise IOError(f"{call}({path}) -> {rc}")
+    global _warned_fallback
+    if rc != -20 and not _warned_fallback:
+        _warned_fallback = True
+        import logging
+
+        logging.getLogger(__name__).warning(
+            "native PNG decode failed (%s(%s) -> %d); falling back to PIL "
+            "(further fallbacks silent)", call, path, rc)
+
+
+_warned_fallback = False
+
+
 def read_png_rgb(path: str) -> Optional[np.ndarray]:
     """Native PNG decode → float32 RGB [H, W, 3] (PIL ``convert("RGB")``
-    semantics: gray replicated, alpha dropped).  Returns ``None`` for
-    layouts the lean decoder skips (palette, 16-bit, interlaced) — the
-    caller falls back to PIL.  Raises on real IO/decode errors."""
+    semantics: gray replicated, alpha dropped).  Returns ``None`` on any
+    native decode failure — unsupported layouts (palette, 16-bit,
+    interlaced) and corrupt/truncated files alike — and the caller falls
+    back to PIL (``STEREOFORMER_NATIVE_STRICT=1`` raises instead)."""
     lib = load_library()
     if lib is None:
         return None
     dims = np.zeros(4, np.int32)
     rc = lib.sf_png_dims(path.encode(), dims)
-    if rc == -20:
-        return None
     if rc:
-        raise IOError(f"sf_png_dims({path}) -> {rc}")
+        _png_fallback(path, "sf_png_dims", rc)
+        return None
     h, w, c = (int(x) for x in dims[:3])
     out = np.empty(h * w * c, np.uint8)
     rc = lib.sf_read_png(path.encode(), out, out.size)
-    if rc == -20:
-        return None
     if rc:
-        raise IOError(f"sf_read_png({path}) -> {rc}")
+        _png_fallback(path, "sf_read_png", rc)
+        return None
     img = out.reshape(h, w, c)
     if c == 1:
         img = np.repeat(img, 3, axis=2)
@@ -123,26 +142,25 @@ def read_png_rgb(path: str) -> Optional[np.ndarray]:
 
 def read_png_gray16(path: str) -> "Optional[np.ndarray]":
     """Native 16-bit grayscale PNG decode (the KITTI disparity encoding)
-    → uint16 [H, W]; ``None`` when the library is absent or the file is
-    not 16-bit gray (caller falls back to PIL)."""
+    → uint16 [H, W]; ``None`` when the library is absent, the file is
+    not 16-bit gray, or native decode fails for any reason (caller falls
+    back to PIL; ``STEREOFORMER_NATIVE_STRICT=1`` raises instead)."""
     lib = load_library()
     if lib is None:
         return None
     dims = np.zeros(4, np.int32)
     rc = lib.sf_png_dims(path.encode(), dims)
-    if rc == -20:
-        return None
     if rc:
-        raise IOError(f"sf_png_dims({path}) -> {rc}")
+        _png_fallback(path, "sf_png_dims", rc)
+        return None
     h, w, c, depth = (int(x) for x in dims)
     if depth != 16 or c != 1:
         return None
     out = np.empty(h * w, np.uint16)
     rc = lib.sf_read_png_u16(path.encode(), out, out.size)
-    if rc == -20:
-        return None
     if rc:
-        raise IOError(f"sf_read_png_u16({path}) -> {rc}")
+        _png_fallback(path, "sf_read_png_u16", rc)
+        return None
     return out.reshape(h, w)
 
 

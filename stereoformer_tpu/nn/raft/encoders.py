@@ -298,6 +298,11 @@ class RaftResidualBlock(nn.Module):
         # (RAFT 118.3 → 114.7 ms), train −1.1% (325.7 → 322.1 ms/step,
         # 300-step convergence checked).  Env escapes for A/B:
         # STEREOFORMER_STATS_FUSION=0 (eval), _TRAIN=0 (train).
+        # CAVEAT: the env vars are read at TRACE time — flipping them
+        # after the first jit trace of a given shape (or with a warm
+        # persistent compile cache) has no effect on the cached
+        # executable.  For an A/B, set the env before process start and
+        # use distinct processes per arm (scripts/_conv_ab_hlo.py does).
         fuse_stats = wshard is None and self.norm in ("group", "instance") and (
             (not train
              and os.environ.get("STEREOFORMER_STATS_FUSION", "1") != "0")

@@ -137,6 +137,20 @@ def restore_checkpoint(
     import jax
 
     cp = _checkpointer()
+    if shardings is None:
+        # Default to each target leaf's CURRENT sharding (the trainer has
+        # already placed the state — replicated on the mesh, or on the
+        # single device).  Orbax then restores each array directly into
+        # place instead of warning "Sharding info not provided … unsafe
+        # when restoring on a different topology" and guessing.
+        leaf_sh = [
+            getattr(x, "sharding", None)
+            for x in jax.tree_util.tree_leaves(target)
+        ]
+        if leaf_sh and all(s is not None for s in leaf_sh):
+            shardings = jax.tree_util.tree_unflatten(
+                jax.tree_util.tree_structure(target), leaf_sh
+            )
     try:
         if shardings is not None:
             import orbax.checkpoint as ocp

@@ -130,6 +130,9 @@ def test_native_png_parity_and_fallback(tmp_path):
             rng.randint(0, 255, (29, 31), dtype=np.uint8), "L"),
         "rgba.png": Image.fromarray(
             rng.randint(0, 255, (23, 17, 4), dtype=np.uint8), "RGBA"),
+        # gray+alpha (colortype 4): convert("RGB") keeps the gray plane
+        "la.png": Image.fromarray(
+            rng.randint(0, 255, (19, 23, 2), dtype=np.uint8), "LA"),
     }
     for name, im in cases.items():
         p = str(tmp_path / name)
@@ -146,6 +149,25 @@ def test_native_png_parity_and_fallback(tmp_path):
     assert native.read_png_rgb(pal) is None  # unsupported -> PIL path
     ref = np.array(Image.open(pal).convert("RGB"), dtype=np.float32)
     np.testing.assert_array_equal(file_io.read_img(pal), ref)
+
+    # corrupt/truncated file: native decode fails -> None (PIL fallback),
+    # never an exception unless STEREOFORMER_NATIVE_STRICT=1
+    trunc = str(tmp_path / "trunc.png")
+    with open(str(tmp_path / "rgb.png"), "rb") as fh:
+        blob = fh.read()
+    with open(trunc, "wb") as fh:
+        fh.write(blob[: len(blob) // 2])
+    native._warned_fallback = False
+    assert native.read_png_rgb(trunc) is None
+    assert native.read_png_gray16(trunc) is None
+    import os as _os
+
+    _os.environ["STEREOFORMER_NATIVE_STRICT"] = "1"
+    try:
+        with pytest.raises(IOError):
+            native.read_png_rgb(trunc)
+    finally:
+        del _os.environ["STEREOFORMER_NATIVE_STRICT"]
 
 
 def test_native_png16_kitti_disp_parity(tmp_path):
