@@ -124,6 +124,7 @@ def main():
         outs = [compiled(variables, left, right) for _ in range(reps)]
         float(jnp.sum(outs[-1]))
         dt = time.perf_counter() - t0
+        outs = None  # free ~350 MB of queued eval outputs before later stages
         results[dtype_name] = {
             "pairs_per_sec": reps * BATCH / dt,
             "flops_per_pair": flops_per_pair,
@@ -152,6 +153,73 @@ def main():
 
     def budget_left() -> float:
         return budget_s - (time.perf_counter() - _T0)
+
+    # --- Flagship TRAIN-step rows (round-4 verdict #3: the 31 ms / 139
+    # pairs/s training headline must be driver-certified, not taken from
+    # the builder-run scripts/train_phase_bench.py).  Reference config of
+    # record: bf16, crop 320x640, sequence loss, amsgrad-Adam, 12 GRU
+    # iterations (scripts/run.sh:8-22, trainer_DLC_GRU.py:125-129);
+    # B=4 (reference batch) and B=8 (the recommended single-chip config,
+    # BENCHMARKS.md "train batch scan").  BENCH_TRAIN=0 skips.
+    train_rows = {}
+    if os.environ.get("BENCH_TRAIN", "1") != "0" and budget_left() > 60:
+        try:
+            import optax
+
+            from stereoformer_tpu.losses import sequence_loss  # noqa: F401
+            from stereoformer_tpu.train import TrainState, make_train_step
+
+            tmodel = get_model("LowCNN_gru", dtype=jnp.bfloat16, loop=mode)
+            Ht, Wt = 320, 640
+            ttx = optax.amsgrad(1e-3)
+            tstep = make_train_step(tmodel, ttx, "sequence", iters=ITERS)
+            for Bt in (4, 8):
+                if budget_left() < 60:
+                    raise TimeoutError(
+                        f"bench budget: {budget_left():.0f}s left")
+                tl = jnp.asarray(rng.randn(Bt, Ht, Wt, 3).astype(np.float32))
+                tr_ = jnp.asarray(rng.randn(Bt, Ht, Wt, 3).astype(np.float32))
+                tg = jnp.asarray(
+                    (40 + 10 * rng.randn(Bt, Ht, Wt, 1)).astype(np.float32))
+                tvars = jax.jit(
+                    lambda l, r: tmodel.init(jax.random.PRNGKey(0), l, r,
+                                             iters=1, train=False)
+                )(tl, tr_)
+                tstate = jax.jit(
+                    lambda v: TrainState(
+                        step=jnp.asarray(0, jnp.int32),
+                        params=v["params"],
+                        batch_stats=v["batch_stats"],
+                        opt_state=ttx.init(v["params"]),
+                    )
+                )(tvars)
+                batch = {"img_left": tl, "img_right": tr_, "gt_disp": tg}
+                _phase(f"lowcnn train B={Bt}: compiling")
+                tstate, tm = tstep(tstate, batch)
+                loss0 = float(tm["loss"])
+                assert np.isfinite(loss0), loss0
+                _phase(f"lowcnn train B={Bt}: compiled+warm")
+                reps = 15
+                t0 = time.perf_counter()
+                for _ in range(reps):
+                    tstate, tm = tstep(tstate, batch)
+                float(tm["loss"])
+                dt = (time.perf_counter() - t0) / reps
+                train_rows[f"lowcnn_train_b{Bt}_ms_per_step"] = round(
+                    dt * 1e3, 2)
+                train_rows[f"lowcnn_train_b{Bt}_pairs_per_sec"] = round(
+                    Bt / dt, 1)
+                _phase(f"lowcnn train B={Bt}: {dt * 1e3:.2f} ms/step")
+            train_rows["lowcnn_train_config"] = (
+                f"bf16 @ {Ht}x{Wt} {ITERS} iters sequence-loss amsgrad"
+            )
+        except Exception as e:  # must not lose the already-measured rows
+            train_rows["lowcnn_train_error"] = f"{type(e).__name__}: {e}"[:300]
+        finally:
+            # free the train state (params + amsgrad moments + batch,
+            # ~350 MB) before the RAFT stages — holding it OOM'd the
+            # RAFT B=4 @ 320x720 train step on the 16 GB chip
+            tstate = tvars = tm = batch = tl = tr_ = tg = tstep = None  # noqa: F841
 
     raft = {}
     if os.environ.get("BENCH_RAFT", "1") != "0" and budget_left() > 60:
@@ -283,6 +351,7 @@ def main():
         "bf16_pairs_per_sec": round(results["bf16"]["pairs_per_sec"], 3),
         "bf16_vs_f32_mean_abs_disp_px": round(bf16_err, 4),
     }
+    record.update(train_rows)
     record.update(raft)
     flops_per_pair = results[headline]["flops_per_pair"]
     if flops_per_pair is not None:
