@@ -41,11 +41,21 @@ class WShardCtx:
     and the norm's elementwise apply is exact on every slab column whose
     receptive field the margin covers."""
 
-    def __init__(self, axis_name: str, off, keep: int, width: int):
+    def __init__(self, axis_name: str, off, keep: int, width: int,
+                 batch_axis: str | None = None):
         self.axis_name = axis_name
         self.off = off          # traced int32, multiple of the total stride
         self.keep = keep        # static
         self.width = width      # static
+        # train-mode BatchNorm statistics reduce over the BATCH too; on a
+        # DP × W-shard 2-D mesh they must psum over both axes (sample-
+        # local norms never need this — their stats are per-sample)
+        self.batch_axis = batch_axis
+
+    def bn_axes(self):
+        if self.batch_axis is None:
+            return self.axis_name
+        return (self.axis_name, self.batch_axis)
 
     def mask(self, w: int):
         f = self.width // w
@@ -230,11 +240,12 @@ class _Norm(nn.Module):
     @nn.compact
     def __call__(self, x, train: bool = True, stats_only: bool = False,
                  wshard: WShardCtx | None = None, precomputed_sums=None):
-        # wshard: W-sharded eval — the sample-local norms (group/instance)
-        # psum margin-masked moments over the mesh axis so their
-        # statistics are global-exact; eval BatchNorm is already a fixed
-        # per-channel affine (elementwise), train BatchNorm under wshard
-        # is unsupported (batch stats would need the same masked psum).
+        # wshard: W-sharded evaluation/training — the sample-local norms
+        # (group/instance) psum margin-masked moments over the mesh axis
+        # so their statistics are global-exact; eval BatchNorm is already
+        # a fixed per-channel affine (elementwise, exact), and train
+        # BatchNorm masks + pmeans its batch moments the same way (the
+        # "batch" branch below).
         axis = wshard.axis_name if wshard is not None else None
         masks = (None, wshard.mask(x.shape[2])) if wshard is not None else None
         if self.kind == "group":
@@ -246,17 +257,33 @@ class _Norm(nn.Module):
         assert precomputed_sums is None or self.kind == "instance", (
             self.kind)
         if self.kind == "batch":
-            assert wshard is None or not train, (
-                "train-mode BatchNorm under W-sharding is unsupported "
-                "(eval running stats are elementwise and exact)"
-            )
             if stats_only:
                 if train:
                     return None  # train-mode batch stats stay unfused
                 # eval BN is a fixed per-channel affine — fusable
                 return _BNStats(self.features, name="BatchNorm_0")(x.shape[0])
+            if wshard is not None and train:
+                # Train-mode batch statistics under W-sharding (round-4
+                # verdict #2): margin-mask the slab so each global column
+                # is counted by exactly one shard, then pmean the per-
+                # shard masked moments over the mesh axis (+ the batch
+                # axis on a DP × W 2-D mesh).  Every shard keeps the SAME
+                # count (N·H·Ws — shard_map's equal-shard invariant), so
+                # flax's equal-weight pmean of masked means IS the global
+                # mean; running-average updates then see the true global
+                # batch stats on every shard (identical psums → the
+                # updated batch_stats tree is replicated-consistent).
+                # Reference: train-mode BN in the context encoder,
+                # extractor/extractor.py:203-324.
+                wm = wshard.mask(x.shape[2]) > 0.5          # bool [w]
+                return nn.BatchNorm(
+                    use_running_average=False, momentum=0.9,
+                    dtype=self.dtype, axis_name=wshard.bn_axes(),
+                    name="BatchNorm_0",
+                )(x, mask=wm[None, None, :, None])
             return nn.BatchNorm(
-                use_running_average=not train, momentum=0.9, dtype=self.dtype
+                use_running_average=not train, momentum=0.9, dtype=self.dtype,
+                name="BatchNorm_0",
             )(x)
         if self.kind == "instance":
             return GroupNormNHWC(

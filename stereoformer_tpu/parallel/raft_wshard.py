@@ -86,6 +86,8 @@ def _make_shard_body(
     halo16: int,
     axis_name: str,
     train_mode: bool,
+    train_bn: bool = False,
+    batch_axis: str | None = None,
 ):
     """The per-shard W-sharded RAFT forward, shared by the eval and the
     train drivers.  Returns ``shard(variables, left, right)`` yielding
@@ -94,14 +96,17 @@ def _make_shard_body(
     list of per-iteration kept disparity slabs (``train_mode=True``,
     train semantics: mask head + convex upsample every iteration,
     per-iteration ``stop_gradient`` detach as raft_stereo.py:172).
+    With ``train_bn=True`` it yields ``(preds, new_batch_stats)``.
 
-    Norms always run with ``train=False``: group/instance norms have no
-    train/eval split, and BatchNorm uses its running statistics — the
-    reference's ``freeze_bn`` fine-tune mode (raft_stereo.py:124-127),
-    which is exactly the wide-pair fine-tune use case this driver
-    exists for (train-mode batch statistics under W-sharding would need
-    the same masked psum the sample-local norms get; documented
-    unsupported in nn/raft/encoders._Norm).
+    Norm semantics: group/instance norms have no train/eval split (their
+    masked-psum moments are global-exact either way).  BatchNorm runs in
+    the mode ``train_bn`` selects — ``False``: running statistics, the
+    reference's ``freeze_bn`` fine-tune mode (raft_stereo.py:124-127);
+    ``True``: train-mode batch statistics, computed globally via the
+    margin-masked pmean in ``nn/raft/encoders._Norm`` (the reference's
+    from-scratch training mode, extractor.py:203-324) with the
+    running-average updates returned as ``new_batch_stats`` (identical
+    psums on every shard → replicated-consistent).
 
     Composes with ``RAFTStereo(remat_update=True)`` (the per-iteration
     nn.remat memory knob): the global-coordinate ``interp_fn`` closure
@@ -130,11 +135,19 @@ def _make_shard_body(
         start = jnp.clip(i * Ws - margin, 0, W - We)
         ls = jax.lax.dynamic_slice_in_dim(left, start, We, axis=2)
         rs = jax.lax.dynamic_slice_in_dim(right, start, We, axis=2)
-        wctx = WShardCtx(axis_name, i * Ws - start, Ws, We)
-        cnet_list, fmap1, fmap2 = model.apply(
-            variables, ls, rs, train=False, wshard=wctx,
-            method=RAFTStereo.encode,
-        )
+        wctx = WShardCtx(axis_name, i * Ws - start, Ws, We,
+                         batch_axis=batch_axis if train_bn else None)
+        if train_bn:
+            (cnet_list, fmap1, fmap2), newvars = model.apply(
+                variables, ls, rs, train=True, wshard=wctx,
+                method=RAFTStereo.encode, mutable=["batch_stats"],
+            )
+            new_bs = newvars["batch_stats"]
+        else:
+            cnet_list, fmap1, fmap2 = model.apply(
+                variables, ls, rs, train=False, wshard=wctx,
+                method=RAFTStereo.encode,
+            )
         net_slab = [jnp.tanh(h) for h, _ in cnet_list]
         inp_slab = [nn.relu(c) for _, c in cnet_list]
         ctx_slab = model.apply(variables, inp_slab,
@@ -254,6 +267,8 @@ def _make_shard_body(
             ckept = jax.lax.dynamic_slice_in_dim(coords1, koff4, Wk4, axis=2)
             coords1 = _halo_window(ckept, st4, i, Wk4, m4, axis_name)
 
+        if train_bn:
+            return preds, new_bs
         return preds if train_mode else preds[-1]
 
     return shard
@@ -304,6 +319,7 @@ def make_wsharded_raft_train(
     gamma: float = 0.8,
     maxdisp: float = 192.0,
     batch_axis: str | None = None,
+    train_bn: bool = False,
 ):
     """W-sharded RAFT-Stereo TRAINING: build
     ``fn(params, batch_stats, left, right, gt) -> (loss, grads)``
@@ -312,26 +328,34 @@ def make_wsharded_raft_train(
     the per-iteration W-sharded forward, with grads psum'd across the
     mesh so pairs too wide for one chip fine-tune at all.
 
-    Norm semantics are the reference's ``freeze_bn`` fine-tune mode
-    (BatchNorm running stats; see ``_make_shard_body``) — the exact
-    configuration wide-pair fine-tuning uses.  Loss and every grad leaf
-    are parity-tested against the unsharded
-    ``value_and_grad(sequence_loss ∘ apply)`` on the virtual mesh
-    (tests/test_parallel.py::test_wsharded_raft_train_parity).
+    ``train_bn`` selects the BatchNorm mode (see ``_make_shard_body``):
+    ``False`` (default) is the reference's ``freeze_bn`` fine-tune mode
+    (running statistics); ``True`` is from-scratch training — batch
+    statistics computed globally via margin-masked pmean, and the
+    returned callable yields ``((loss, new_batch_stats), grads)``
+    (``value_and_grad`` aux) so the caller can carry the updated
+    running averages.  Loss, every grad leaf, and (for ``train_bn``)
+    the updated batch_stats tree are parity-tested against the
+    unsharded ``value_and_grad`` on the virtual mesh
+    (tests/test_parallel.py::test_wsharded_raft_train_parity,
+    ``test_wsharded_raft_train_bn_parity``).
 
     ``batch_axis``: optional second mesh axis (DP × W-shard, see
     ``make_wsharded_raft_eval``); batch rows and gt shard over it, the
-    loss mean and the grad psum extend over both axes (2-D parity:
+    loss mean, the grad psum and (with ``train_bn``) the BN-moment
+    pmean extend over both axes (2-D parity:
     ``test_wsharded_raft_2d_mesh``)."""
     shard = _make_shard_body(mesh, model, iters, margin, halo16, axis_name,
-                             train_mode=True)
+                             train_mode=True, train_bn=train_bn,
+                             batch_axis=batch_axis)
     n = mesh.shape[axis_name]
     axes = (axis_name,) if batch_axis is None else (axis_name, batch_axis)
     dp = 1 if batch_axis is None else mesh.shape[batch_axis]
 
     def shard_loss(params, batch_stats, left, right, gt):
         variables = {"params": params, "batch_stats": batch_stats}
-        preds = shard(variables, left, right)
+        out = shard(variables, left, right)
+        preds, new_bs = out if train_bn else (out, None)
         i = jax.lax.axis_index(axis_name)
         Ws = left.shape[2] // n
         gt_k = jax.lax.dynamic_slice_in_dim(gt, i * Ws, Ws, axis=2)
@@ -342,18 +366,22 @@ def make_wsharded_raft_train(
             w = gamma ** (len(preds) - j - 1)
             s = jax.lax.psum(jnp.sum(jnp.abs(p * m - gt_k * m)), axes)
             total = total + w * s / denom
+        if train_bn:
+            return total, new_bs
         return total
 
     # check_vma=False: same scoped workaround as wshard.py — the
     # custom-VJP Pallas convs confuse the varying-manual-axes checker
     # under differentiation; values/grads are parity-tested instead.
+    # (new_bs comes out under P() — its masked pmeans are identical on
+    # every shard, so the per-device value IS the replicated value.)
     bspec = P(batch_axis) if batch_axis is not None else P()
     run = jax.shard_map(
         shard_loss, mesh=mesh, in_specs=(P(), P(), bspec, bspec, bspec),
-        out_specs=P(), check_vma=False,
+        out_specs=(P(), P()) if train_bn else P(), check_vma=False,
     )
 
     def global_loss(params, batch_stats, left, right, gt):
         return run(params, batch_stats, left, right, gt)
 
-    return jax.jit(jax.value_and_grad(global_loss))
+    return jax.jit(jax.value_and_grad(global_loss, has_aux=train_bn))
