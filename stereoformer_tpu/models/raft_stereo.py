@@ -158,6 +158,13 @@ class RAFTStereo(nn.Module):
             # lookup is HBM-bandwidth-bound on the [B,H,W,W2] volume.
             corr = corr.astype(self.dtype)
         pyramid = ops.corr_pyramid(corr, self.corr_levels)
+        # blocked-overlap views, built once: the per-iteration windowed
+        # lookup reads ~2× the pyramid instead of (2r+2)× (ops/corr1d.py).
+        # Eval only — the blocked VJP's per-iteration [.., nq, slabw]
+        # cotangent measured +5 ms on the train step (A/B round 5), while
+        # eval gains 4-5% (B=2 114.8→110, B=8 359→345 @ 576×960)
+        corr_cache = (None if train
+                      else ops.corr_block_cache(pyramid, self.corr_radius))
 
         B, H4, W4, _ = net[0].shape
         coords0 = jnp.broadcast_to(
@@ -173,7 +180,8 @@ class RAFTStereo(nn.Module):
         for itr in range(iters):
             # per-iteration detach, as the reference (raft_stereo.py:172)
             coords1 = jax.lax.stop_gradient(coords1)
-            corr_feat = ops.corr_lookup(pyramid, coords1, self.corr_radius)
+            corr_feat = ops.corr_lookup(pyramid, coords1, self.corr_radius,
+                                        cache=corr_cache)
             flow = jnp.concatenate(
                 [(coords1 - coords0)[..., None], flow_y], axis=-1
             )

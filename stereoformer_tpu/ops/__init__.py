@@ -29,7 +29,8 @@ from .upsample import neighborhood9, upsample_convex, upsample_convex8, upsample
 from .resize import resize_bilinear, scale_disp
 from .warp import disp_warp, lr_warp_error
 from .attention import banded_attention, banded_attention_scores
-from .corr1d import allpairs_corr1d, corr_lookup, corr_pyramid
+from .corr1d import (allpairs_corr1d, corr_block_cache, corr_lookup,
+                     corr_pyramid)
 from .deform import (
     bilinear_sample_2d,
     deform_columns,
@@ -66,6 +67,7 @@ __all__ = [
     "banded_attention",
     "banded_attention_scores",
     "allpairs_corr1d",
+    "corr_block_cache",
     "corr_lookup",
     "corr_pyramid",
     "deform_psroi_pool",

@@ -189,6 +189,10 @@ def _make_shard_body(
         if model.dtype is not None:
             corr = corr.astype(model.dtype)
         pyramid = ops.corr_pyramid(corr, model.corr_levels)
+        # eval-only, as in models/raft_stereo.py (blocked VJP costs more
+        # than the flat one-hot's in training)
+        corr_cache = (None if train_mode
+                      else ops.corr_block_cache(pyramid, model.corr_radius))
 
         # ---- global-coordinate cross-scale resize ----
         # align_corners maps output col J to source J·(Wc−1)/(Wf−1) in
@@ -233,7 +237,8 @@ def _make_shard_body(
         for itr in range(iters):
             # per-iteration detach, as the reference (raft_stereo.py:172)
             coords1 = jax.lax.stop_gradient(coords1)
-            corr_feat = ops.corr_lookup(pyramid, coords1, model.corr_radius)
+            corr_feat = ops.corr_lookup(pyramid, coords1, model.corr_radius,
+                                        cache=corr_cache)
             flow = jnp.concatenate(
                 [(coords1 - coords0)[..., None], flow_y], axis=-1
             )

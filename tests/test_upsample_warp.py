@@ -197,6 +197,42 @@ def test_onehot_window_grads_match():
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-4)
 
 
+def test_blocked_corr_lookup_bit_equal():
+    """The blocked two-stage lookup (ops.corr_block_cache) is pure
+    selection — values AND gradients must be BIT-equal to the flat
+    one-hot path, including out-of-range zeros and integer centres."""
+    rng = np.random.RandomState(9)
+    corr = jnp.asarray(rng.randn(2, 3, 11, 240).astype(np.float32))
+    pyr = ops.corr_pyramid(corr, 4)
+    coords = jnp.asarray(rng.uniform(-30, 270, (2, 3, 11)).astype(np.float32))
+    # edge cases: window just touching each end, exact integers, far OOR
+    coords = coords.at[0, 0, :6].set(
+        jnp.asarray([-6.0, -5.0, 0.0, 239.0, 245.0, 120.0]))
+    cache = ops.corr_block_cache(pyr, 4)
+    a = ops.corr_lookup(pyr, coords, 4)
+    b = ops.corr_lookup(pyr, coords, 4, cache=cache)
+    assert bool(jnp.all(a == b))
+    # bf16 pyramid storage (the mixed-precision eval path)
+    p16 = [p.astype(jnp.bfloat16) for p in pyr]
+    a16 = ops.corr_lookup(p16, coords, 4)
+    b16 = ops.corr_lookup(p16, coords, 4, cache=ops.corr_block_cache(p16, 4))
+    assert bool(jnp.all(a16 == b16))
+
+    def f_flat(c_, co_):
+        return jnp.sum(jnp.sin(ops.corr_lookup(ops.corr_pyramid(c_, 4),
+                                               co_, 4)))
+
+    def f_blocked(c_, co_):
+        p = ops.corr_pyramid(c_, 4)
+        return jnp.sum(jnp.sin(ops.corr_lookup(
+            p, co_, 4, cache=ops.corr_block_cache(p, 4))))
+
+    ga = jax.grad(f_flat, argnums=(0, 1))(corr, coords)
+    gb = jax.grad(f_blocked, argnums=(0, 1))(corr, coords)
+    for a_, b_ in zip(ga, gb):
+        assert bool(jnp.all(a_ == b_))
+
+
 def test_warp_onehot_matches_gather():
     from stereoformer_tpu.ops.warp import _sample_x_gather, _sample_x_onehot
 
