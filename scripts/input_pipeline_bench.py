@@ -79,12 +79,14 @@ def build_fixtures(root: str) -> str:
     return listpath
 
 
-def measure(root: str, listpath: str, workers: int) -> dict:
+def measure(root: str, listpath: str, workers: int,
+            cache_dir: str | None = None) -> dict:
     from stereoformer_tpu import data
     from stereoformer_tpu.data.transforms import train_transform
 
     ds = data.StereoDataset(root, listpath, listpath,
-                            dataset_name="SceneFlow", mode="train")
+                            dataset_name="SceneFlow", mode="train",
+                            cache_dir=cache_dir)
     loader = data.DataLoader(
         ds, batch_size=BATCH, shuffle=True, num_workers=workers,
         drop_last=True, seed=0, prefetch=4,
@@ -141,6 +143,21 @@ def main() -> None:
         finally:
             if not native_on:
                 native._LIB_PATH = saved
+
+    # decoded-sample cache (--data_cache): epoch 1 populates (measured as
+    # the 'cold' row), epoch ≥2 skips PNG/PFM decode entirely
+    cache_dir = os.path.join(root, "decoded_cache")
+    for label, workers in (("cache_cold", 4), ("cache_warm", 4),
+                           ("cache_warm", 8)):
+        r = measure(root, listpath, workers, cache_dir=cache_dir)
+        r["native"] = native.available()
+        r["cache"] = label
+        r["chips_fed_at_139_pairs_s"] = round(
+            r["pairs_per_sec"] / TRAIN_CONSUMPTION, 2)
+        rows.append(r)
+        print(f"{label} workers={workers}: {r['pairs_per_sec']:.1f} pairs/s "
+              f"({r['chips_fed_at_139_pairs_s']}x one-chip consumption)",
+              file=sys.stderr)
     print(json.dumps({"resolution": f"{H}x{W}", "crop": "320x640",
                       "batch": BATCH, "rows": rows}))
 

@@ -100,6 +100,10 @@ def build_parser() -> argparse.ArgumentParser:
                         "Fine-tuning only: from-scratch training with "
                         "frozen init statistics is unstable (diverges in "
                         "bf16), exactly as torch eval-mode BN would be")
+    p.add_argument("--data_cache", default=None, metavar="DIR",
+                   help="decoded-sample disk cache: epoch >=2 skips "
+                        "PNG/PFM decode (bit-exact, invalidated by "
+                        "source mtime; ~5 MB/sample — see data/cache.py)")
     return p
 
 
@@ -198,6 +202,7 @@ def main(argv=None):
         scan_unroll=opt.scan_unroll,
         freeze_bn=opt.freeze_bn,
         remat_update=opt.remat_update,
+        data_cache=opt.data_cache,
     )
     trainer.initialize()
 

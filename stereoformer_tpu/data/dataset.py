@@ -104,7 +104,13 @@ class StereoDataset:
         transform=None,
         filenames_dir: Optional[str] = None,
         scale_size: tuple[int, int] = SCALE_SIZE,
+        cache_dir: Optional[str] = None,
     ):
+        # opt-in decoded-sample disk cache (data/cache.py): epoch ≥2
+        # skips PNG/PFM decode entirely, bit-exact vs the decode path
+        from .cache import open_cache
+
+        self._cache = open_cache(cache_dir)
         self.data_dir = data_dir
         self.mode = mode
         self.dataset_name = dataset_name
@@ -148,17 +154,20 @@ class StereoDataset:
 
     def __getitem__(self, index: int) -> dict:
         spec = self.samples[index]
+        c = self._cache
+        rimg = c.img if c is not None else read_img
+        rdisp = c.disp if c is not None else read_disp
         sample: dict = {
-            "img_left": read_img(spec.left),
-            "img_right": read_img(spec.right),
+            "img_left": rimg(spec.left),
+            "img_right": rimg(spec.right),
         }
         if spec.left_name:
             sample["left_name"] = spec.left_name
         subset = "subset" in self.dataset_name
         if spec.disp:
-            sample["gt_disp"] = read_disp(spec.disp, subset=subset)
+            sample["gt_disp"] = rdisp(spec.disp, subset=subset)
         if spec.pseudo_disp:
-            sample["pseudo_disp"] = read_disp(spec.pseudo_disp, subset=subset)
+            sample["pseudo_disp"] = rdisp(spec.pseudo_disp, subset=subset)
         if self.mode in ("val", "test"):
             sample["img_left"] = _resize_img(sample["img_left"], self.scale_size)
             sample["img_right"] = _resize_img(sample["img_right"], self.scale_size)

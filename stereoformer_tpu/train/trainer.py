@@ -85,6 +85,7 @@ class DisparityTrainer:
         remat_update: bool = False,
         scan_unroll: int = 1,
         freeze_bn: bool = False,
+        data_cache: Optional[str] = None,
     ):
         self.lr = lr
         self.dataset = dataset
@@ -111,6 +112,7 @@ class DisparityTrainer:
         self.remat_update = remat_update
         self.scan_unroll = scan_unroll
         self.freeze_bn = freeze_bn
+        self.data_cache = data_cache
         self.scale_size = scale_size
         self.current_lr = lr
         self.is_pretrain = False
@@ -137,6 +139,8 @@ class DisparityTrainer:
             )
         else:
             kw = {"scale_size": self.scale_size} if self.scale_size else {}
+            if self.data_cache:
+                kw["cache_dir"] = self.data_cache
             if self.filenames_dir:
                 # KITTI/ETH3D/Middlebury list files live in a filenames/
                 # registry (SceneflowLoader.py:41-60); overridable so

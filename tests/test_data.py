@@ -309,3 +309,96 @@ def test_random_rescale():
     # reference quirk (preprocess.py:246-250): disparity is cast, NOT resized
     assert cout["gt_disp"].shape == (20, 30)
     assert cout["gt_disp"].dtype == np.float32
+
+
+def test_decoded_sample_cache_parity_and_invalidation(tmp_path):
+    """data/cache.py: cached decode is bit-exact vs direct decode (miss
+    AND hit), and an mtime change invalidates the entry."""
+    import os
+    import time
+
+    from PIL import Image
+
+    ddir = tmp_path / "dataroot"
+    (ddir / "L").mkdir(parents=True)
+    (ddir / "R").mkdir()
+    (ddir / "D").mkdir()
+    rng = np.random.RandomState(3)
+    lines = []
+    for i in range(2):
+        li = (rng.rand(32, 48, 3) * 255).astype(np.uint8)
+        ri = (rng.rand(32, 48, 3) * 255).astype(np.uint8)
+        Image.fromarray(li).save(ddir / "L" / f"{i}.png")
+        Image.fromarray(ri).save(ddir / "R" / f"{i}.png")
+        data.write_pfm(str(ddir / "D" / f"{i}.pfm"),
+                       rng.rand(32, 48).astype(np.float32) * 30)
+        lines.append(f"L/{i}.png R/{i}.png D/{i}.pfm")
+    lst = tmp_path / "train.list"
+    lst.write_text("\n".join(lines))
+
+    cdir = str(tmp_path / "cache")
+    plain = data.StereoDataset(str(ddir), str(lst), str(lst),
+                               dataset_name="SceneFlow", mode="train")
+    cached = data.StereoDataset(str(ddir), str(lst), str(lst),
+                                dataset_name="SceneFlow", mode="train",
+                                cache_dir=cdir)
+    for i in range(2):
+        want = plain[i]
+        got_miss = cached[i]   # populates the cache
+        got_hit = cached[i]    # serves from it
+        for k in ("img_left", "img_right", "gt_disp"):
+            np.testing.assert_array_equal(got_miss[k], want[k])
+            np.testing.assert_array_equal(got_hit[k], want[k])
+            assert got_hit[k].dtype == want[k].dtype
+    n_entries = sum(len(fs) for _, _, fs in os.walk(cdir))
+    assert n_entries == 6  # 2 samples x (left, right, disp)
+
+    # rewrite one source image -> its entry must invalidate (new key)
+    li2 = (rng.rand(32, 48, 3) * 255).astype(np.uint8)
+    time.sleep(0.01)  # ensure mtime_ns moves
+    Image.fromarray(li2).save(ddir / "L" / "0.png")
+    s = cached[0]
+    np.testing.assert_array_equal(s["img_left"], plain[0]["img_left"])
+    assert sum(len(fs) for _, _, fs in os.walk(cdir)) == 7
+
+
+def test_decoded_sample_cache_through_loader(tmp_path):
+    """Cached and uncached datasets produce bit-identical augmented
+    batches through the production DataLoader + train_transform."""
+    from PIL import Image
+
+    ddir = tmp_path / "dataroot"
+    (ddir / "L").mkdir(parents=True)
+    (ddir / "R").mkdir()
+    (ddir / "D").mkdir()
+    rng = np.random.RandomState(4)
+    lines = []
+    for i in range(4):
+        Image.fromarray((rng.rand(32, 48, 3) * 255).astype(np.uint8)).save(
+            ddir / "L" / f"{i}.png")
+        Image.fromarray((rng.rand(32, 48, 3) * 255).astype(np.uint8)).save(
+            ddir / "R" / f"{i}.png")
+        data.write_pfm(str(ddir / "D" / f"{i}.pfm"),
+                       rng.rand(32, 48).astype(np.float32) * 30)
+        lines.append(f"L/{i}.png R/{i}.png D/{i}.pfm")
+    lst = tmp_path / "train.list"
+    lst.write_text("\n".join(lines))
+
+    def make_loader(cache_dir):
+        ds = data.StereoDataset(str(ddir), str(lst), str(lst),
+                                dataset_name="SceneFlow", mode="train",
+                                cache_dir=cache_dir)
+        return data.DataLoader(
+            ds, batch_size=2, shuffle=True, num_workers=2, seed=0,
+            transform_with_rng=lambda s, rng_: data.transforms.train_transform(
+                s, rng_, crop=(16, 32)),
+        )
+
+    a = list(make_loader(None))
+    b = list(make_loader(str(tmp_path / "cache")))   # epoch 1: misses
+    c = list(make_loader(str(tmp_path / "cache")))   # epoch 1 again: hits
+    assert len(a) == len(b) == len(c) == 2
+    for ba, bb, bc in zip(a, b, c):
+        for k in ("img_left", "img_right", "gt_disp"):
+            np.testing.assert_array_equal(ba[k], bb[k])
+            np.testing.assert_array_equal(ba[k], bc[k])
