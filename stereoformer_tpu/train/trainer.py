@@ -35,7 +35,7 @@ from ..data import (
 )
 from ..models import get_model
 from ..utils import AverageMeter, get_logger
-from .checkpoint import restore_checkpoint
+from .checkpoint import restore_checkpoint, restore_params
 from .schedule import make_step_schedule
 from .state import TrainState
 from .steps import make_eval_step, make_train_step
@@ -259,9 +259,22 @@ class DisparityTrainer:
                 self.is_pretrain = True
                 logger.info("Loaded pretrain checkpoint: %s", self.pretrain)
             except Exception as e:
-                logger.warning(
-                    "Cannot load %s (%s); starting fresh", self.pretrain, e
-                )
+                # params-only fallback: checkpoints without optimizer
+                # state (a converted reference .pth — cli/import_torch —
+                # or a save from a different optimizer config) restore
+                # params + batch_stats and start the moments fresh,
+                # mirroring the reference's state_dict-only loading
+                # (utils/utils.py:73-100)
+                try:
+                    self.state = restore_params(self.pretrain, self.state)
+                    self.is_pretrain = True
+                    logger.info(
+                        "Loaded pretrain params (optimizer state fresh): %s",
+                        self.pretrain)
+                except Exception:
+                    logger.warning(
+                        "Cannot load %s (%s); starting fresh",
+                        self.pretrain, e)
 
     def set_loss_weights(self, weights):
         """Swap the per-round loss weights (loss-schedule JSON rounds,

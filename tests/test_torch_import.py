@@ -1,0 +1,202 @@
+"""Reference ``.pth`` → Flax import (train/torch_import, cli/import_torch).
+
+These tests run the REFERENCE MODEL ITSELF on torch-CPU (read-only import
+of /root/reference — its production-trained family,
+``baseline_dynamic_gru.py``) and compare against our model running the
+imported weights:
+
+- the whole pre-refinement path (backbone → cost volume → aggregation →
+  soft-argmin) must match to float tolerance — no deliberate deviation
+  lives there;
+- the GRU-refined outputs are compared under README deviation #2 (the
+  reference's grid_sample warp skews samples by up to half a pixel; our
+  warp samples exactly x − disp), which bounds, not breaks, agreement.
+
+Skipped when /root/reference is not present.
+"""
+
+import os
+import sys
+import types
+
+import numpy as np
+import pytest
+
+jax = pytest.importorskip("jax")
+import jax.numpy as jnp  # noqa: E402
+
+REFERENCE = "/root/reference"
+pytestmark = pytest.mark.skipif(
+    not os.path.isdir(os.path.join(REFERENCE, "models")),
+    reason="reference repo not available",
+)
+
+
+def _reference_net():
+    """Reference LowCNN (gru family) on torch-CPU.
+
+    The reference hard-imports CUDA-only/unavailable packages; shim the
+    three that its import graph touches but this model's forward never
+    uses: timm (trunc_normal_ init only), torchvision.utils (devtools
+    logging), and the deform CUDA extension modules.  Also neutralise
+    the hard-coded ``.cuda()`` on the GRU's initial hidden state."""
+    try:
+        import timm  # noqa: F401
+    except ImportError:
+        import torch.nn.init as I
+
+        t = types.ModuleType("timm")
+        m = types.ModuleType("timm.models")
+        lay = types.ModuleType("timm.models.layers")
+        lay.trunc_normal_ = lambda tensor, std=.02: I.trunc_normal_(
+            tensor, std=std)
+        t.models = m
+        m.layers = lay
+        sys.modules.update(
+            {"timm": t, "timm.models": m, "timm.models.layers": lay})
+    for name in ("deform_conv_cuda", "deform_pool_cuda", "deform_conv_ext",
+                 "DCN"):
+        sys.modules.setdefault(name, types.ModuleType(name))
+    try:
+        import torchvision  # noqa: F401
+    except ImportError:
+        tv = types.ModuleType("torchvision")
+        tvu = types.ModuleType("torchvision.utils")
+        tvu.make_grid = lambda *a, **k: None
+        tvu.save_image = lambda *a, **k: None
+        tv.utils = tvu
+        sys.modules.update({"torchvision": tv, "torchvision.utils": tvu})
+    import torch
+
+    torch.Tensor.cuda = lambda self, *a, **k: self
+    for p in (REFERENCE, os.path.join(REFERENCE, "deform")):
+        if p not in sys.path:
+            sys.path.insert(0, p)
+    from models.LocalCostVolume.baseline_dynamic_gru import (  # noqa: E501
+        LowCNN as TorchLowCNN,
+    )
+
+    torch.manual_seed(0)
+    net = TorchLowCNN(cost_volume_type="correlation",
+                      upsample_type="convex", adaptive_refinement=True)
+    net.eval()
+    # randomise BN running stats so eval-mode BN exercises the mapping
+    # (fresh init is mean=0/var=1, which would hide mean/var swaps)
+    for mod in net.modules():
+        if isinstance(mod, torch.nn.BatchNorm2d):
+            mod.running_mean.uniform_(-0.2, 0.2)
+            mod.running_var.uniform_(0.5, 1.5)
+    return torch, net
+
+
+def _smooth_pair():
+    from stereoformer_tpu.data import DummyStereoDataset
+
+    s = DummyStereoDataset(length=1, height=64, width=128, max_disp=24)[0]
+    ln = (s["img_left"] / 255.0).astype(np.float32)[None]
+    rn = (s["img_right"] / 255.0).astype(np.float32)[None]
+    return ln, rn
+
+
+def test_torch_import_lowcnn_gru_parity():
+    torch, net = _reference_net()
+    from stereoformer_tpu.models import get_model
+    from stereoformer_tpu.train.torch_import import convert_lowcnn_state_dict
+
+    v = convert_lowcnn_state_dict(net.state_dict())
+    m = get_model("LowCNN_gru")
+    ln, rn = _smooth_pair()
+    l, r = jnp.asarray(ln), jnp.asarray(rn)
+
+    # structural exactness vs the model's own init tree
+    import jax.tree_util as jtu
+
+    ref_vars = m.init(jax.random.PRNGKey(0), l, r, iters=1, train=False)
+
+    def paths(t):
+        return {("/".join(p.key for p in pth), tuple(x.shape))
+                for pth, x in jtu.tree_flatten_with_path(t)[0]}
+
+    assert paths(ref_vars) == paths(v)
+
+    lt = torch.from_numpy(ln.transpose(0, 3, 1, 2).copy())
+    rt = torch.from_numpy(rn.transpose(0, 3, 1, 2).copy())
+    with torch.no_grad():
+        # the reference forward's own pre-GRU chain
+        # (baseline_dynamic_gru.py:96-130)
+        def tower(x):
+            c3 = net.conv3(net.conv2(net.conv1(x)))
+            f8 = net.downsample1(c3)
+            f16 = net.downsample2(f8)
+            f32 = net.downsample3(f16)
+            return net.feature_concated([f32, f16, f8])
+
+        cv = net.correlation_aggreagtion(
+            net.low_scale_cost_volume(tower(lt), tower(rt)))
+        disp_ref = net.disp_estimation3(cv).numpy().squeeze()
+        outs_t = net(lt, rt, iters=3)
+
+    out = m.apply({"params": v["params"], "batch_stats": v["batch_stats"]},
+                  l, r, iters=3, train=False)
+    # pre-refinement path: float-tolerance parity (measured 6e-5 max)
+    disp_ours = np.asarray(out["disp_low"]).squeeze()
+    np.testing.assert_allclose(disp_ours, disp_ref, atol=1e-3)
+
+    # refined outputs: bounded by the documented warp deviation
+    # (measured on this pair: mean 0.013 px, max 0.24 px)
+    for ot, oj in zip(outs_t, out["disparities"]):
+        d = np.abs(ot.numpy().squeeze() - np.asarray(oj).squeeze())
+        assert d.mean() < 0.05 and d.max() < 0.6, (d.mean(), d.max())
+
+
+def test_torch_import_strict_rejects_unknown_keys():
+    from stereoformer_tpu.train.torch_import import convert_lowcnn_state_dict
+
+    torch, net = _reference_net()
+    sd = dict(net.state_dict())
+    sd["mystery.weight"] = sd["conv1.0.weight"]
+    with pytest.raises(ValueError, match="unconsumed"):
+        convert_lowcnn_state_dict(sd)
+
+
+def test_import_cli_roundtrip(tmp_path):
+    """.pth in the reference's on-disk format ({'state_dict': …} with
+    DataParallel 'module.' prefixes) → cli/import_torch → restore_params
+    → identical tensors in a live TrainState."""
+    torch, net = _reference_net()
+    import optax
+
+    from stereoformer_tpu.cli.import_torch import main as import_main
+    from stereoformer_tpu.models import get_model
+    from stereoformer_tpu.train import TrainState
+    from stereoformer_tpu.train.checkpoint import restore_params
+
+    pth = str(tmp_path / "ref.pth")
+    torch.save(
+        {"epoch": 7,
+         "state_dict": {f"module.{k}": v for k, v in
+                        net.state_dict().items()}},
+        pth,
+    )
+    out = import_main([pth, str(tmp_path / "ckpt"), "--net", "LowCNN_gru"])
+
+    m = get_model("LowCNN_gru")
+    ln, rn = _smooth_pair()
+    variables = m.init(jax.random.PRNGKey(0), jnp.asarray(ln),
+                       jnp.asarray(rn), iters=1, train=False)
+    tx = optax.amsgrad(1e-3)
+    state = TrainState(
+        step=jnp.asarray(0, jnp.int32), params=variables["params"],
+        batch_stats=variables["batch_stats"],
+        opt_state=tx.init(variables["params"]),
+    )
+    restored = restore_params(out, state)
+    w_t = net.state_dict()["conv1.0.weight"].numpy().transpose(2, 3, 1, 0)
+    got = np.asarray(
+        restored.params["ConvLReLU_0"]["Conv_0"]["kernel"])
+    np.testing.assert_array_equal(got, w_t)
+    # batch_stats came through too
+    np.testing.assert_array_equal(
+        np.asarray(restored.batch_stats["ResBlock_0"]["BatchNorm_1"]["mean"]),
+        net.state_dict()["conv2.bn1.running_mean"].numpy(),
+    )
