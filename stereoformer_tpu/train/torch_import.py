@@ -117,6 +117,15 @@ def convert_lowcnn_state_dict(
                   shortcut=False)
 
     # ---- refinement heads ---------------------------------------------
+    if refinement in ("none", "fixed", "variance"):
+        # baseline.py / baseline_var.py: shared ConvAffinityUpsample mask
+        # head (upsample.py:6-19); the fixed/variance refiners themselves
+        # are parameter-free resamplers
+        if "upsample_mask.upsample_mask.0.weight" in sd:
+            _conv(sd, "upsample_mask.upsample_mask.0", out,
+                  ("ConvAffinityUpsample_0", "Conv_0"))
+            _conv(sd, "upsample_mask.upsample_mask.2", out,
+                  ("ConvAffinityUpsample_0", "Conv_1"))
     if refinement in ("gru", "gru_feature"):
         g = "gru_update"
         _conv(sd, "local_cost_volume.encoder.uncertain_encoder.0", out,

@@ -149,6 +149,40 @@ def test_torch_import_lowcnn_gru_parity():
         assert d.mean() < 0.05 and d.max() < 0.6, (d.mean(), d.max())
 
 
+def test_torch_import_lowcnn_fixed_end_to_end_parity():
+    """baseline.py (adaptive_refinement=True, convex) vs our
+    refinement="fixed": NO warp lives in this path, so BOTH outputs —
+    the soft-argmin disparity and the fixed-local-cost-volume refined
+    one — must match the reference model end-to-end to float tolerance
+    (measured 2e-4 px max on CPU)."""
+    torch, _ = _reference_net()  # installs shims + sys.path
+    from models.LocalCostVolume.baseline import LowCNN as TorchBaseline
+
+    from stereoformer_tpu.models import get_model
+    from stereoformer_tpu.train.torch_import import convert_lowcnn_state_dict
+
+    torch.manual_seed(1)
+    net = TorchBaseline(cost_volume_type="correlation",
+                        upsample_type="convex", adaptive_refinement=True)
+    net.eval()
+    for mod in net.modules():
+        if isinstance(mod, torch.nn.BatchNorm2d):
+            mod.running_mean.uniform_(-0.2, 0.2)
+            mod.running_var.uniform_(0.5, 1.5)
+    v = convert_lowcnn_state_dict(net.state_dict(), refinement="fixed")
+    m = get_model("LowCNN")
+    ln, rn = _smooth_pair()
+    with torch.no_grad():
+        outs_t = net(torch.from_numpy(ln.transpose(0, 3, 1, 2).copy()),
+                     torch.from_numpy(rn.transpose(0, 3, 1, 2).copy()))
+    out = m.apply({"params": v["params"], "batch_stats": v["batch_stats"]},
+                  jnp.asarray(ln), jnp.asarray(rn), train=False)
+    assert len(outs_t) == len(out["disparities"]) == 2
+    for ot, oj in zip(outs_t, out["disparities"]):
+        np.testing.assert_allclose(
+            np.asarray(oj).squeeze(), ot.numpy().squeeze(), atol=2e-3)
+
+
 def test_torch_import_strict_rejects_unknown_keys():
     from stereoformer_tpu.train.torch_import import convert_lowcnn_state_dict
 
