@@ -28,6 +28,7 @@ _REFINEMENT = {
     "LowCNN_gru": "gru",
     "LowCNN_gru2": "gru_feature",
 }
+_NETS = sorted(_REFINEMENT) + ["RAFT_Stereo"]
 
 
 def load_torch_state_dict(path: str) -> dict:
@@ -43,13 +44,17 @@ def main(argv=None) -> str:
     p = argparse.ArgumentParser("stereoformer import-torch")
     p.add_argument("pth", help="reference .pth checkpoint")
     p.add_argument("out", help="output checkpoint directory")
-    p.add_argument("--net", default="LowCNN_gru", choices=sorted(_REFINEMENT))
+    p.add_argument("--net", default="LowCNN_gru", choices=_NETS)
     opt = p.parse_args(argv)
 
-    from ..train.torch_import import convert_lowcnn_state_dict
+    from ..train.torch_import import (convert_lowcnn_state_dict,
+                                      convert_raft_state_dict)
 
     sd = load_torch_state_dict(opt.pth)
-    tree = convert_lowcnn_state_dict(sd, refinement=_REFINEMENT[opt.net])
+    if opt.net == "RAFT_Stereo":
+        tree = convert_raft_state_dict(sd)
+    else:
+        tree = convert_lowcnn_state_dict(sd, refinement=_REFINEMENT[opt.net])
 
     import orbax.checkpoint as ocp
 

@@ -18,11 +18,14 @@ them onto the Flax parameter tree of the matching model family:
   as duplicates.
 
 Covered: the LowCNN family (``baseline_dynamic_gru.py`` — the
-reference's production-trained family per ``scripts/run.sh``; the other
-variants share the backbone naming).  Forward parity of the imported
-tree is tested against the reference model running on torch-CPU
-(tests/test_torch_import.py): the pre-refinement disparity matches to
-float tolerance; the GRU-refined output is compared under the
+reference's production-trained family per ``scripts/run.sh`` — plus the
+``baseline.py`` variants sharing its backbone) and the RAFT-Stereo
+family (``IterativeLocalCostVolume/raft_stereo.py``).  Forward parity
+of every imported tree is tested against the reference model itself
+running on torch-CPU (tests/test_torch_import.py): the non-warp paths —
+the whole LowCNN pre-refinement stack, the fixed-variant end-to-end,
+and the ENTIRE RAFT eval forward — match to float tolerance
+(1e-5..2e-4 px max); the LowCNN GRU head is compared under the
 documented warp deviation (README deviation #2).
 
 Works on plain numpy — no torch import needed here; ``cli/import_torch``
@@ -35,7 +38,7 @@ from typing import Mapping
 
 import numpy as np
 
-__all__ = ["convert_lowcnn_state_dict"]
+__all__ = ["convert_lowcnn_state_dict", "convert_raft_state_dict"]
 
 
 def _np(t) -> np.ndarray:
@@ -168,4 +171,101 @@ def convert_lowcnn_state_dict(
             f"refinement={refinement!r}?): {sorted(sd)[:10]}"
             + ("…" if len(sd) > 10 else "")
         )
+    return out
+
+
+def _raft_block(sd, key, out, name, shortcut: bool, norm: str):
+    """Reference extractor ResidualBlock (extractor.py:6-60) → our
+    RaftResidualBlock.  Our norms are auto-numbered in declaration order
+    (_Norm_0 = norm1, _Norm_1 = norm2, _Norm_2 = the shortcut's norm3 —
+    the OPPOSITE convention of nn.ResBlock, see _resblock); torch's
+    ``downsample.1`` entries are Sequential ALIASES of ``norm3``."""
+    name = tuple(name) if isinstance(name, tuple) else (name,)
+    _conv(sd, f"{key}.conv1", out, (*name, "Conv_0"))
+    _conv(sd, f"{key}.conv2", out, (*name, "Conv_1"))
+    bn = norm == "batch"
+    if bn:
+        _bn(sd, f"{key}.norm1", out, (*name, "_Norm_0", "BatchNorm_0"))
+        _bn(sd, f"{key}.norm2", out, (*name, "_Norm_1", "BatchNorm_0"))
+    if shortcut:
+        _conv(sd, f"{key}.downsample.0", out, (*name, "downsample"))
+        if bn:
+            _bn(sd, f"{key}.norm3", out, (*name, "_Norm_2", "BatchNorm_0"))
+            for suffix in ("weight", "bias", "running_mean", "running_var",
+                           "num_batches_tracked"):
+                sd.pop(f"{key}.downsample.1.{suffix}", None)
+
+
+def convert_raft_state_dict(
+    state_dict: Mapping[str, object], strict: bool = True
+) -> dict:
+    """Reference ``RAFT_Stereo`` (IterativeLocalCostVolume/raft_stereo.py)
+    state_dict → variables for ``models.RAFTStereo``.
+
+    Instance norms (fnet) carry no parameters on either side; the z/r
+    gate convs of each ContextConvGRU fuse into ``convzr`` by output
+    concat (nn/raft/update.py)."""
+    sd = dict(state_dict)
+    out: dict = {"params": {}, "batch_stats": {}}
+
+    # fnet (instance norm): conv1 / layer1-3 / conv2 ---------------------
+    _conv(sd, "fnet.conv1", out, ("fnet", "Conv_0"))
+    for n in (1, 2, 3):
+        _raft_block(sd, f"fnet.layer{n}.0", out, ("fnet", f"layer{n}a"),
+                    shortcut=n > 1, norm="instance")
+        _raft_block(sd, f"fnet.layer{n}.1", out, ("fnet", f"layer{n}b"),
+                    shortcut=False, norm="instance")
+    _conv(sd, "fnet.conv2", out, ("fnet", "Conv_1"))
+
+    # cnet (batch norm): conv1/norm1, layer1-3, layer4-5 = down1-2,
+    # per-scale output heads ---------------------------------------------
+    _conv(sd, "cnet.conv1", out, ("cnet", "Conv_0"))
+    _bn(sd, "cnet.norm1", out, ("cnet", "_Norm_0", "BatchNorm_0"))
+    for n, ours in ((1, "layer1"), (2, "layer2"), (3, "layer3"),
+                    (4, "down1"), (5, "down2")):
+        _raft_block(sd, f"cnet.layer{n}.0", out, ("cnet", f"{ours}a"),
+                    shortcut=n > 1, norm="batch")
+        _raft_block(sd, f"cnet.layer{n}.1", out, ("cnet", f"{ours}b"),
+                    shortcut=False, norm="batch")
+    # outputs08/16 (finest two scales, res+conv heads), outputs32 (conv)
+    for tscale, lvl in (("08", 0), ("16", 1)):
+        for h in range(2):
+            _raft_block(sd, f"cnet.outputs{tscale}.{h}.0", out,
+                        ("cnet", f"out{lvl}_{h}_res"), shortcut=False,
+                        norm="batch")
+            _conv(sd, f"cnet.outputs{tscale}.{h}.1", out,
+                  ("cnet", f"out{lvl}_{h}_conv"))
+    for h in range(2):
+        _conv(sd, f"cnet.outputs32.{h}", out, ("cnet", f"out2_{h}_conv"))
+
+    # update block --------------------------------------------------------
+    for tname, oname in (("convc1", "Conv_0"), ("convc2", "Conv_1"),
+                         ("convf1", "Conv_2"), ("convf2", "Conv_3"),
+                         ("conv", "Conv_4")):
+        _conv(sd, f"update_block.encoder.{tname}", out,
+              ("update_block", "encoder", oname))
+    for g in ("gru08", "gru16", "gru32"):
+        wz = np.transpose(_np(sd.pop(f"update_block.{g}.convz.weight")),
+                          (2, 3, 1, 0))
+        wr = np.transpose(_np(sd.pop(f"update_block.{g}.convr.weight")),
+                          (2, 3, 1, 0))
+        bz = _np(sd.pop(f"update_block.{g}.convz.bias"))
+        br = _np(sd.pop(f"update_block.{g}.convr.bias"))
+        node = out["params"].setdefault("update_block", {}).setdefault(g, {})
+        node["convzr"] = {"kernel": np.concatenate([wz, wr], axis=-1),
+                          "bias": np.concatenate([bz, br], axis=0)}
+        _conv(sd, f"update_block.{g}.convq", out,
+              ("update_block", g, "convq"))
+    _conv(sd, "update_block.flow_head.conv1", out,
+          ("update_block", "flow_head", "Conv_0"))
+    _conv(sd, "update_block.flow_head.conv2", out,
+          ("update_block", "flow_head", "Conv_1"))
+    _conv(sd, "update_block.mask.0", out, ("update_block", "mask_conv1"))
+    _conv(sd, "update_block.mask.2", out, ("update_block", "mask_conv2"))
+    for i in range(3):
+        _conv(sd, f"context_zqr_convs.{i}", out, (f"context_zqr{i}",))
+
+    if strict and sd:
+        raise ValueError(f"unconsumed reference keys: {sorted(sd)[:10]}"
+                         + ("…" if len(sd) > 10 else ""))
     return out

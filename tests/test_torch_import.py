@@ -183,6 +183,84 @@ def test_torch_import_lowcnn_fixed_end_to_end_parity():
             np.asarray(oj).squeeze(), ot.numpy().squeeze(), atol=2e-3)
 
 
+def _reference_raft():
+    torch, _ = _reference_net()  # shims + sys.path
+    # raft_stereo.py's junk imports (turtle needs tkinter; sklearn absent)
+    for mod, attrs in (("sklearn", {}),
+                       ("sklearn.feature_selection", {"SelectKBest": object}),
+                       ("turtle", {"left": None, "right": None})):
+        try:
+            __import__(mod)
+        except Exception:
+            m = types.ModuleType(mod)
+            for k, val in attrs.items():
+                setattr(m, k, val)
+            sys.modules[mod] = m
+            if "." in mod:
+                setattr(sys.modules[mod.split(".")[0]],
+                        mod.split(".")[1], m)
+    # the reference module calls argparse.parse_args() at import time —
+    # hide pytest's argv while importing it
+    argv, sys.argv = sys.argv, [sys.argv[0]]
+    try:
+        from models.IterativeLocalCostVolume.raft_stereo import (
+            RAFT_Stereo as TorchRAFT,
+        )
+    finally:
+        sys.argv = argv
+
+    torch.manual_seed(0)
+    net = TorchRAFT()
+    net.eval()
+    for mod in net.modules():
+        if isinstance(mod, torch.nn.BatchNorm2d):
+            mod.running_mean.uniform_(-0.2, 0.2)
+            mod.running_var.uniform_(0.5, 1.5)
+    return torch, net
+
+
+def test_torch_import_raft_end_to_end_parity():
+    """convert_raft_state_dict vs the reference RAFT_Stereo on torch-CPU:
+    the ENTIRE eval forward — encoders, corr pyramid + windowed lookup,
+    3-level GRU cascade, convex upsample — matches to float tolerance
+    (measured 1e-5 max over 3 iterations).  Our output is the negated
+    flow (README deviation #9)."""
+    import contextlib
+    import io
+
+    torch, net = _reference_raft()
+    from stereoformer_tpu.models import RAFTStereo
+    from stereoformer_tpu.train.torch_import import convert_raft_state_dict
+
+    v = convert_raft_state_dict(net.state_dict())
+    m = RAFTStereo()
+    rng = np.random.default_rng(0)
+    ln = rng.uniform(0, 255, (1, 64, 128, 3)).astype(np.float32)
+    rn = rng.uniform(0, 255, (1, 64, 128, 3)).astype(np.float32)
+    l, r = jnp.asarray(ln), jnp.asarray(rn)
+
+    import jax.tree_util as jtu
+
+    ref_vars = RAFTStereo().init(jax.random.PRNGKey(0), l, r, 1, None,
+                                 True, False)
+
+    def paths(t):
+        return {("/".join(p.key for p in pth), tuple(x.shape))
+                for pth, x in jtu.tree_flatten_with_path(t)[0]}
+
+    assert paths(ref_vars) == paths(v)
+
+    lt = torch.from_numpy(ln.transpose(0, 3, 1, 2).copy())
+    rt = torch.from_numpy(rn.transpose(0, 3, 1, 2).copy())
+    # the reference forward prints corr.shape every iteration — swallow
+    with torch.no_grad(), contextlib.redirect_stdout(io.StringIO()):
+        outs_t = net(lt, rt, iters=3)
+    out = m.apply(v, l, r, iters=3, train=False)
+    for ot, oj in zip(outs_t, out["disparities"]):
+        np.testing.assert_allclose(
+            np.asarray(oj).squeeze(-1), -ot.numpy()[:, 0], atol=1e-4)
+
+
 def test_torch_import_strict_rejects_unknown_keys():
     from stereoformer_tpu.train.torch_import import convert_lowcnn_state_dict
 
