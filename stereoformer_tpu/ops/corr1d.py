@@ -169,12 +169,15 @@ def _window_sample_blocked(
     nq = bl.shape[-2]
     i0 = jnp.floor(coords)
     frac = (coords - i0)[..., None]
-    ib = i0.astype(jnp.int32)
-    start = ib - radius                       # real coord of tap 0
-    # the window [start, start+T−1] overlaps [0, W2) iff start ∈
-    # [−(T−1), W2−1]; outside, the flat one-hot path returns zeros
-    valid = (start >= -(T - 1)) & (start <= W2 - 1)
-    sb = jnp.clip(start + T, 0, W2 + T - 1)   # padded-buffer start index
+    # validity in FLOAT domain: the window [i0−r, i0+r+1] overlaps
+    # [0, W2) iff its start ∈ [−(T−1), W2−1]; NaN/±inf coords compare
+    # false → zeros, matching the flat one-hot path (whose float
+    # equality-compare never fires for them).  The int cast below is
+    # only reached through the clip, so a garbage cast result is
+    # harmless once ``valid`` is false.
+    valid = (i0 - radius >= -(T - 1)) & (i0 - radius <= W2 - 1)
+    start = jnp.clip(i0 - radius, -(T - 1), W2 - 1).astype(jnp.int32)
+    sb = start + T                            # padded-buffer start ∈ [1, W2+T−1]
     qb = sb // block
     off = sb - qb * block                     # ∈ [0, block)
     dt = bl.dtype

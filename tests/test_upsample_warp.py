@@ -206,17 +206,21 @@ def test_blocked_corr_lookup_bit_equal():
     pyr = ops.corr_pyramid(corr, 4)
     coords = jnp.asarray(rng.uniform(-30, 270, (2, 3, 11)).astype(np.float32))
     # edge cases: window just touching each end, exact integers, far OOR
-    coords = coords.at[0, 0, :6].set(
-        jnp.asarray([-6.0, -5.0, 0.0, 239.0, 245.0, 120.0]))
+    coords = coords.at[0, 0, :8].set(
+        jnp.asarray([-6.0, -5.0, 0.0, 239.0, 245.0, 120.0,
+                     jnp.nan, jnp.inf]))
     cache = ops.corr_block_cache(pyr, 4)
     a = ops.corr_lookup(pyr, coords, 4)
     b = ops.corr_lookup(pyr, coords, 4, cache=cache)
-    assert bool(jnp.all(a == b))
+    # NaN-aware bit equality (NaN/inf centres give NaN through the lerp
+    # frac on BOTH paths)
+    np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
     # bf16 pyramid storage (the mixed-precision eval path)
     p16 = [p.astype(jnp.bfloat16) for p in pyr]
     a16 = ops.corr_lookup(p16, coords, 4)
     b16 = ops.corr_lookup(p16, coords, 4, cache=ops.corr_block_cache(p16, 4))
-    assert bool(jnp.all(a16 == b16))
+    np.testing.assert_array_equal(np.asarray(a16, np.float32),
+                                  np.asarray(b16, np.float32))
 
     def f_flat(c_, co_):
         return jnp.sum(jnp.sin(ops.corr_lookup(ops.corr_pyramid(c_, 4),
@@ -230,7 +234,7 @@ def test_blocked_corr_lookup_bit_equal():
     ga = jax.grad(f_flat, argnums=(0, 1))(corr, coords)
     gb = jax.grad(f_blocked, argnums=(0, 1))(corr, coords)
     for a_, b_ in zip(ga, gb):
-        assert bool(jnp.all(a_ == b_))
+        np.testing.assert_array_equal(np.asarray(a_), np.asarray(b_))
 
 
 def test_warp_onehot_matches_gather():
